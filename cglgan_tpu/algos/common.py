@@ -1,0 +1,179 @@
+"""Shared machinery for all seven federated-GAN algorithms.
+
+The reference re-implements this boilerplate in every entry script (losses,
+Adam settings, batch draw, fixed-z sampling — SURVEY.md §0 "heavy copy-paste
+duplication"); here it lives once.
+
+GAN losses reproduce the reference's exact choices:
+* ``bce``      — torch nn.BCELoss on sigmoid outputs (ACGAN/FLGAN/MDGAN/CGL
+                 workers, e.g. FLGAN/MNIST/flgan.py:116).
+* ``ce2``      — torch nn.CrossEntropyLoss on 2 raw logits (CAP/Mix MNIST
+                 workers, capgan.py:311).
+* ``bce_logits`` — numerically-stable BCE on raw logits (conv LSGAN D, which
+                 has no sigmoid: model/lsgan.py:92-98).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+# ---------------------------------------------------------------------------
+# losses
+# ---------------------------------------------------------------------------
+
+def bce(p, target: float):
+    """Mean BCE against a constant target on probabilities in (0,1).
+    Clamped like torch (which clamps log at -100)."""
+    p = jnp.clip(p, 1e-12, 1.0 - 1e-7)
+    t = target
+    return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log1p(-p))
+
+
+def ce2(logits, target_idx: int):
+    """Mean 2-class cross-entropy against a constant class index."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(logp[:, target_idx])
+
+
+def bce_logits(logits, target: float):
+    z = logits.squeeze(-1)
+    # stable: max(z,0) - z*t + log(1+exp(-|z|))
+    return jnp.mean(jnp.maximum(z, 0) - z * target + jnp.log1p(jnp.exp(-jnp.abs(z))))
+
+
+def make_adv_loss(head: str) -> Callable:
+    """Returns loss(d_out, is_real: float) for the configured D head."""
+    if head == "sigmoid":
+        return lambda out, t: bce(out, t)
+    if head == "logits2":
+        return lambda out, t: ce2(out, int(t))
+    if head == "raw":
+        return lambda out, t: bce_logits(out, t)
+    raise ValueError(head)
+
+
+# ---------------------------------------------------------------------------
+# data access
+# ---------------------------------------------------------------------------
+
+def normalize_images(x):
+    """uint8 HxW -> float NCHW in [-1,1], the reference's
+    ToTensor+Normalize([0.5],[0.5]) (capgan.py:466-469)."""
+    x = x.astype(jnp.float32) / 255.0
+    x = (x - 0.5) / 0.5
+    if x.ndim == 3:
+        x = x[:, None, :, :]
+    return x
+
+
+def sample_batch(shard, length, key, batch_size: int):
+    """Uniform minibatch from one client shard (approximates the reference's
+    shuffle=True DataLoader draw; identical in distribution for i.i.d. batch
+    order).  ``shard`` is wrap-padded so any index < max_len is valid, but we
+    draw < length for exactness."""
+    idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(length, 1))
+    return jnp.take(shard, idx, axis=0)
+
+
+def prepare_real(batch, is_image: bool):
+    return normalize_images(batch) if is_image else batch
+
+
+# ---------------------------------------------------------------------------
+# state containers
+# ---------------------------------------------------------------------------
+
+class NetState(NamedTuple):
+    """One network (possibly stacked on a leading federation axis)."""
+    params: Any
+    bn: Any            # batchnorm running stats ("state_dict buffers")
+    opt: Any           # optax state
+
+
+class FedState(NamedTuple):
+    g: NetState        # generators — stacked (S, ...) for multi-server algos
+    d: NetState        # discriminators — stacked (W, ...)
+    lam: Any           # Lambda game variable(s), (S,) or scalar; None if unused
+    t: Any             # int32 round counter
+
+
+def adam(cfg) -> optax.GradientTransformation:
+    """Adam(lr, betas=(b1,b2)) exactly as every reference script
+    (e.g. CGLGAN/MNIST/main.py:168: lr=2e-4, betas=(0.5, 0.999))."""
+    return optax.adam(cfg.lr_g, b1=cfg.b1, b2=cfg.b2, eps=1e-8)
+
+
+def adam_d(cfg) -> optax.GradientTransformation:
+    return optax.adam(cfg.lr_d, b1=cfg.b1, b2=cfg.b2, eps=1e-8)
+
+
+def init_net(model, key, opt) -> NetState:
+    params, bn = model.init(key)
+    return NetState(params, bn, opt.init(params))
+
+
+def init_net_stacked(model, key, opt, n: int) -> NetState:
+    """n independent inits stacked on axis 0 — one per federated member."""
+    def one(k):
+        p, b = model.init(k)
+        return p, b, opt.init(p)
+    p, b, o = jax.vmap(one)(jax.random.split(key, n))
+    return NetState(p, b, o)
+
+
+def apply_updates(net: NetState, grads, opt, new_bn=None) -> NetState:
+    updates, new_opt = opt.update(grads, net.opt, net.params)
+    return NetState(optax.apply_updates(net.params, updates),
+                    net.bn if new_bn is None else new_bn, new_opt)
+
+
+# ---------------------------------------------------------------------------
+# the per-client discriminator step (the hot op)
+# ---------------------------------------------------------------------------
+
+def d_step_fn(d_model, adv_loss, opt, batch_size: int, is_image: bool,
+              d_loss_half: bool):
+    """Build ``step(d_net, shard, length, fake, key) -> (d_net, d_loss)``:
+    one local D update on (real batch, given fakes).  D_loss = real + fake,
+    halved for CAP/Mix (capgan.py:339, mixed-gan.py:382).
+
+    vmap this over the stacked clients axis: W tiny MLP steps fuse into
+    batched matmuls on the MXU."""
+
+    def loss_fn(params, bn, real, fake, rng):
+        out_r, bn1 = d_model.apply(params, bn, real, train=True, rng=rng)
+        out_f, bn2 = d_model.apply(params, bn1, fake, train=True, rng=rng)
+        loss = adv_loss(out_r, 1.0) + adv_loss(out_f, 0.0)
+        if d_loss_half:
+            loss = loss * 0.5
+        return loss, bn2
+
+    def step(d_net: NetState, shard, length, fake, key):
+        k_batch, k_drop = jax.random.split(key)
+        real = prepare_real(sample_batch(shard, length, k_batch, batch_size),
+                            is_image)
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            d_net.params, d_net.bn, real, jax.lax.stop_gradient(fake), k_drop)
+        updates, new_opt = opt.update(grads, d_net.opt, d_net.params)
+        return NetState(optax.apply_updates(d_net.params, updates),
+                        new_bn, new_opt), loss
+
+    return step
+
+
+def d_epoch_steps(step, epoch: int):
+    """Repeat a local D step ``epoch`` times (the reference inner loop,
+    capgan.py:324-341), re-keying the batch draw each iteration."""
+    def multi(d_net, shard, length, fake, key):
+        def body(carry, k):
+            net, _ = carry
+            net, loss = step(net, shard, length, fake, k)
+            return (net, loss), None
+        (net, loss), _ = jax.lax.scan(body, (d_net, jnp.float32(0)),
+                                      jax.random.split(key, epoch))
+        return net, loss
+    return multi

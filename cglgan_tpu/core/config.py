@@ -1,0 +1,154 @@
+"""Typed configuration with 1:1 knob parity to the reference entry scripts.
+
+The reference exposes its knobs as module-level globals (reference
+``README.md:23-34``, ``CGLGAN/MNIST/main.py:33-62``, ``capgan.py:34-55``).
+Here they are a single frozen dataclass shared by every algorithm, with the
+same names and default semantics.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Optional
+
+# Algorithm registry.  Each name maps 1:1 onto a reference entry script:
+#   acgan  -> ACGAN/2DMG/acgan.py, ACGAN/MNIST/acgan.py
+#   flgan  -> FLGAN/2DMG/flgan.py, FLGAN/MNIST/flgan.py
+#   mdgan  -> MDGAN/2DMG/mdgan.py, MDGAN/MNIST/mdgan.py
+#   fegan  -> fegan.py
+#   cglgan -> CGLGAN/2DMG/main.py, CGLGAN/MNIST/main.py
+#   capgan -> capgan.py, CAPGAN/MNIST/capgan.py
+#   mixgan -> mixed-gan.py, CAPGAN/MNIST/mixed-gan.py
+ALGOS = ("acgan", "flgan", "mdgan", "fegan", "cglgan", "capgan", "mixgan")
+
+DATASETS = ("2dmg", "mnist", "fashion-mnist", "synthetic-mnist")
+
+# Generator-objective weighting games across the CGL/CAP/Mix family.  The
+# reference hard-codes one per script and leaves the others as commented
+# alternatives (capgan.py:237-256, mixed-gan.py:268-285); here each is a
+# first-class selectable mode:
+#   cgl_mean_game : F=(beta.l + gamma.l)/2, manual Lambda ascent  (CGLGAN main.py:279-292)
+#   cap_exp       : alpha=softmax(softmax(L*l)*beta), F=alpha.l-0.001L (capgan.py:247-249)
+#   mix_bll       : alpha=softmax(beta*L*l),          F=alpha.l-0.001L (mixed-gan.py:276-277)
+#   beta_gamma    : s=softmax(beta*gamma)             (CAPGAN/MNIST variants :241-243)
+#   beta          : F=beta.l                          (commented "beta" branch)
+#   gamma         : F=gamma.l-0.001L                  (commented "gamma" branch)
+#   mean          : F=sum(l)  (== MD-GAN when num_servers==1; commented branch)
+WEIGHTINGS = ("cgl_mean_game", "cap_exp", "mix_bll", "beta_gamma", "beta",
+              "gamma", "mean")
+
+
+@dataclass(frozen=True)
+class FedGANConfig:
+    """One config object for all seven algorithms.
+
+    Knob names follow the reference globals exactly (``num_workers``,
+    ``num_servers``, ``E``, ``num_class``, ``num_sample``, ``batch_size``,
+    ``frac_workers``, ``epoch``, ``iid``, ``cloud_epoch``, ``segema``,
+    ``num_communication``, ``b1``/``b2``, ``img_size``, ``num_plt``).
+    """
+
+    algo: str = "capgan"
+    dataset: str = "2dmg"
+
+    # --- topology (reference README.md:23-28) ---
+    num_workers: int = 10          # federated clients (each owns one D)
+    num_servers: int = 1           # edge servers (each owns one G)
+    frac_workers: float = 1.0      # participation fraction per round
+    E: int = 0                     # gossip/D-share period in rounds; 0 = off
+
+    # --- data (reference README.md:29-31) ---
+    num_class: int = 10
+    num_sample: int = 1000         # 2DMG: samples per class; MNIST: eval pool
+    iid: int = 1                   # 0 iid / 1 basic non-iid / 2 fully non-iid
+    batch_size: int = 100
+    img_size: int = 28
+
+    # --- schedule ---
+    num_communication: int = 20000  # total federated rounds
+    epoch: int = 1                  # local iterations between syncs
+    cloud_epoch: int = 1            # rounds between cloud trunk syncs
+    segema: float = 0.0             # sigma-mix: 1=fully local, 0=fully shared
+    num_plt: int = 500              # eval cadence in rounds
+
+    # --- optimisation (reference CGLGAN/MNIST/main.py:59-60, capgan.py:52-53) ---
+    lr_g: float = 2e-4
+    lr_d: float = 2e-4
+    b1: float = 0.5
+    b2: float = 0.999
+    lr_lambda: float = 0.1          # SGD lr for the Lambda game variable
+    latent_dim: int = 100
+
+    # --- variant switches ---
+    weighting: Optional[str] = None  # None -> per-algo default (see below)
+    # FL-GAN local-sweep semantics differ per workload in the reference:
+    # 2DMG trains `epoch` *batches* per round (FLGAN/2DMG/flgan.py:231-256),
+    # MNIST trains `epoch` full local *epochs* (FLGAN/MNIST/flgan.py:249-269).
+    local_sweep: Optional[str] = None  # "batches" | "epochs"; None -> by dataset
+    # Discriminator head: "sigmoid" (1-logit + BCE) or "logits2" (2-logit + CE).
+    d_head: Optional[str] = None
+    conv: bool = False              # use the conv LSGAN G/D pair (model/lsgan.py)
+
+    # --- runtime ---
+    seed: int = 20211212
+    dtype: str = "float32"          # param/compute dtype for the tiny nets
+    scan_rounds: int = 0            # rounds fused per lax.scan chunk; 0 = auto
+    data_dir: Optional[str] = None  # IDX files for real MNIST, if available
+
+    # ------------------------------------------------------------------
+    def __post_init__(self):
+        if self.algo not in ALGOS:
+            raise ValueError(f"unknown algo {self.algo!r}; expected one of {ALGOS}")
+        if self.dataset not in DATASETS:
+            raise ValueError(f"unknown dataset {self.dataset!r}")
+        if self.iid not in (0, 1, 2):
+            raise ValueError("iid must be 0, 1 or 2")
+        if self.num_workers % max(self.num_servers, 1) != 0:
+            # Reference block assignment drops the remainder
+            # (CGLGAN/MNIST/main.py:507-513); we require divisibility so no
+            # client is silently orphaned.
+            raise ValueError("num_workers must be divisible by num_servers")
+        if self.weighting is not None and self.weighting not in WEIGHTINGS:
+            raise ValueError(f"unknown weighting {self.weighting!r}")
+
+    # ------------------------------------------------------------------
+    @property
+    def clients_per_server(self) -> int:
+        return self.num_workers // self.num_servers
+
+    @property
+    def is_image(self) -> bool:
+        return self.dataset != "2dmg"
+
+    @property
+    def img_shape(self):
+        return (2,) if self.dataset == "2dmg" else (1, self.img_size, self.img_size)
+
+    @property
+    def resolved_weighting(self) -> str:
+        if self.weighting is not None:
+            return self.weighting
+        return {"cglgan": "cgl_mean_game", "capgan": "cap_exp",
+                "mixgan": "mix_bll"}.get(self.algo, "mean")
+
+    @property
+    def resolved_local_sweep(self) -> str:
+        if self.local_sweep is not None:
+            return self.local_sweep
+        return "epochs" if (self.algo in ("flgan", "fegan") and self.is_image) else "batches"
+
+    @property
+    def resolved_d_head(self) -> str:
+        """Reference loss choice per variant: BCE+sigmoid everywhere except the
+        CAP/Mix MNIST workers, which use CrossEntropy on a 2-logit D
+        (capgan.py:311, mixed-gan.py:349, model/mnist_model.py:81)."""
+        if self.d_head is not None:
+            return self.d_head
+        if self.algo in ("capgan", "mixgan") and self.is_image:
+            return "logits2"
+        if self.algo == "acgan" and self.is_image:
+            return "logits2"   # ACGAN/MNIST/acgan.py uses CE on 2 logits
+        return "sigmoid"
+
+    def replace(self, **kw) -> "FedGANConfig":
+        return dataclasses.replace(self, **kw)
