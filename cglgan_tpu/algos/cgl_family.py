@@ -1,0 +1,228 @@
+"""CGL-GAN, CAP-GAN and Mix-G: the 3-tier cloud/edge/client hierarchy with
+the Lambda minimax game.
+
+Reference protocol (CGLGAN/MNIST/main.py:79-394, capgan.py:86-349,
+mixed-gan.py:91-393): every round each edge server generates a detached fake
+batch Xd and a live batch Xg; clients train their Ds on (real, Xd) and return
+per-client generator losses; the server updates personalization heads on
+sum(l) with the trunk frozen, the trunk on the game objective F with heads
+frozen, and the Lambda variable by its own rule; every ``cloud_epoch`` rounds
+the cloud aggregates server trunks weighted by server data size and each
+server sigma-mixes the average back in.
+
+Variant matrix (all switchable; defaults follow the reference scripts):
+
+| algo   | generator        | worker loss       | D*0.5 | cloud scope | cadence            |
+|--------|------------------|-------------------|-------|-------------|--------------------|
+| cglgan | multi-path       | BCE (sigmoid)     | no    | trunk       | cloud_epoch rounds |
+| capgan | single path      | CE (2 logits)     | yes   | full G      | data_len*H/B rounds|
+| mixgan | multi-path+DCGAN | CE (2 logits)     | yes   | trunk       | cloud_epoch rounds |
+
+(capgan cadence: capgan.py:169; the D*0.5: capgan.py:339; DCGAN weights_init
+on Mix-G G and D: mixed-gan.py:181,348.)
+
+TPU design: the whole hierarchy is one jitted round — clients are a vmap over
+the (S, k) reshape of the stacked D state, the multi-path generator's heads
+are vmapped experts, the cross-thread loss feedback is straight-line autodiff
+and the cloud is a weighted mean over the servers axis (SURVEY.md §2.2).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from cglgan_tpu.algos import common, runner as runner_mod
+from cglgan_tpu.algos.common import FedState, NetState
+from cglgan_tpu.algos.game import game_step
+from cglgan_tpu.core import prng
+from cglgan_tpu.core.config import FedGANConfig
+from cglgan_tpu.data.partition import Partition
+from cglgan_tpu.fed import collectives, topology
+from cglgan_tpu.models import nn as fnn
+from cglgan_tpu.models.zoo import models_for_config
+
+
+def build_cgl_family(cfg: FedGANConfig, part: Partition) -> runner_mod.Runner:
+    S, k = cfg.num_servers, cfg.clients_per_server
+    algo = cfg.algo
+    multipath = algo in ("cglgan", "mixgan")
+    g_model, d_model = models_for_config(cfg)
+    head = "raw" if cfg.conv else cfg.resolved_d_head
+    adv = common.make_adv_loss(head)
+    d_loss_half = algo in ("capgan", "mixgan")
+    weighting = cfg.resolved_weighting
+    opt_g = optax.adam(cfg.lr_g, b1=cfg.b1, b2=cfg.b2)
+    opt_d = optax.adam(cfg.lr_d, b1=cfg.b1, b2=cfg.b2)
+    B, zdim = cfg.batch_size, cfg.latent_dim
+    root = prng.root_key(cfg.seed)
+
+    shards = jnp.asarray(part.data).reshape((S, k) + part.data.shape[1:])
+    lengths = jnp.asarray(part.lengths).reshape(S, k)
+    beta = jnp.asarray(topology.server_beta(part.lengths, S))      # (S, k)
+    data_len = topology.server_data_len(part.lengths, S)           # (S,)
+    a_weights = jnp.asarray((data_len / data_len.sum()).astype(np.float32))
+
+    # cloud-sync period per server
+    if algo == "capgan":
+        # capgan.py:169 — period scales with server data size
+        periods = np.maximum(
+            1, (data_len * cfg.cloud_epoch / cfg.batch_size).astype(np.int64))
+    else:
+        periods = np.full(S, max(cfg.cloud_epoch, 1), dtype=np.int64)
+    periods_dev = jnp.asarray(periods)
+    cloud_enabled = cfg.cloud_epoch > 0
+
+    d_step = common.d_epoch_steps(
+        common.d_step_fn(d_model, adv, opt_d, B, cfg.is_image, d_loss_half),
+        cfg.epoch)
+
+    def init_state():
+        def init_g(kk):
+            p, b = g_model.init(kk)
+            if algo == "mixgan":   # net_g.apply(weights_init), mixed-gan.py:181
+                p = fnn.dcgan_reinit(jax.random.fold_in(kk, 99), p)
+            return p, b, opt_g.init(p)
+
+        gp, gbn, gopt = jax.vmap(init_g)(
+            jax.random.split(prng.for_role(root, prng.ROLE_INIT_G), S))
+
+        def init_d(kk):
+            p, b = d_model.init(kk)
+            if algo == "mixgan":   # net_d.apply(weights_init), mixed-gan.py:348
+                p = fnn.dcgan_reinit(jax.random.fold_in(kk, 98), p)
+            return p, b, opt_d.init(p)
+
+        dp, dbn, dopt = jax.vmap(init_d)(
+            jax.random.split(prng.for_role(root, prng.ROLE_INIT_D), S * k))
+        dn = NetState(*jax.tree.map(
+            lambda x: x.reshape((S, k) + x.shape[1:]), (dp, dbn, dopt)))
+        lam = jnp.zeros((S,), jnp.float32)   # Lambda starts at 0 (capgan.py:140)
+        return FedState(NetState(gp, gbn, gopt), dn, lam, jnp.int32(0))
+
+    # ------------------------------------------------------------------
+    def per_client_losses(gp, gbn, z_g, d_new: NetState):
+        """fake = G(z_g) routed per client; l_i = adv(D_i(fake_i), 1)."""
+        fake, gbn2 = g_model.apply(gp, gbn, z_g, train=True)
+        if multipath:     # head i's batch goes to client i (mixed-gan.py:247-252)
+            routed = fake
+        else:             # full batch to every client (capgan.py:224-225)
+            routed = jnp.broadcast_to(fake[None], (k,) + fake.shape)
+        outs, _ = jax.vmap(
+            lambda dp, dbn, x: d_model.apply(dp, dbn, x, train=True))(
+            d_new.params, d_new.bn, routed)
+        losses = jax.vmap(lambda o: adv(o, 1.0))(outs)
+        return losses, gbn2
+
+    def server_round(g_net: NetState, d_block: NetState, lam, beta_s,
+                     shard_blk, len_blk, key):
+        k_zd, k_zg, k_d = jax.random.split(key, 3)
+        # Xd (detached; BN buffers advance as torch train-mode no_grad does)
+        z_d = jax.random.normal(k_zd, (B, zdim))
+        xd, gbn1 = g_model.apply(g_net.params, g_net.bn, z_d, train=True)
+        xd = jax.lax.stop_gradient(xd)
+        xd_routed = xd if multipath else jnp.broadcast_to(
+            xd[None], (k,) + xd.shape)
+
+        d_keys = jax.random.split(k_d, k)
+        new_d, d_loss = jax.vmap(d_step)(d_block, shard_blk, len_blk,
+                                         xd_routed, d_keys)
+
+        z_g = jax.random.normal(k_zg, (B, zdim))
+        # losses once (the workers' returned values) -> game weights
+        losses0, _ = per_client_losses(g_net.params, gbn1, z_g, new_d)
+        game = game_step(weighting, losses0, beta_s, lam, cfg.lr_lambda)
+
+        if multipath:
+            # heads <- d(sum l)/d(heads), trunk frozen; trunk <- d(F)/d(trunk),
+            # heads frozen (CGLGAN/MNIST/main.py:272-289)
+            def heads_obj(gp):
+                l, bn2 = per_client_losses(gp, gbn1, z_g, new_d)
+                return l.sum(), bn2
+
+            def trunk_obj(gp):
+                l, _ = per_client_losses(gp, gbn1, z_g, new_d)
+                return jnp.sum(game.w * l)
+
+            (sum_l, gbn2), g_heads = jax.value_and_grad(
+                heads_obj, has_aux=True)(g_net.params)
+            g_trunk = jax.grad(trunk_obj)(g_net.params)
+            grads = {"trunk": g_trunk["trunk"], "heads": g_heads["heads"]}
+            f_max = jnp.sum(game.w * losses0) - game.lam_coeff * lam
+        else:
+            def g_obj(gp):
+                l, bn2 = per_client_losses(gp, gbn1, z_g, new_d)
+                return jnp.sum(game.w * l), bn2
+
+            (f_val, gbn2), grads = jax.value_and_grad(
+                g_obj, has_aux=True)(g_net.params)
+            f_max = f_val - game.lam_coeff * lam
+
+        up, gopt2 = opt_g.update(grads, g_net.opt, g_net.params)
+        new_g = NetState(optax.apply_updates(g_net.params, up), gbn2, gopt2)
+        metrics = {"d_loss": d_loss.mean(), "g_loss": losses0.mean(),
+                   "f_max": f_max, "f_beta": game.f_beta,
+                   "f_gamma": game.f_gamma, "lambda": game.lam_new}
+        return new_g, new_d, game.lam_new, metrics
+
+    # ------------------------------------------------------------------
+    def cloud_sync(g: NetState, t):
+        """Weighted trunk (or full-G) average + sigma-mix, per-server cadence
+        mask (CGLGAN/MNIST/main.py:100-112,177-184)."""
+        scope = (lambda tree: tree["trunk"]) if multipath else (lambda tree: tree)
+
+        def put(tree, sub):
+            if multipath:
+                out = dict(tree)
+                out["trunk"] = sub
+                return out
+            return sub
+
+        sync_mask = (t % periods_dev) == 0          # (S,)
+        payload = (scope(g.params), scope(g.bn))
+        avg = collectives.masked_weighted_avg_tree(payload, a_weights,
+                                                   sync_mask.astype(jnp.float32))
+        avg_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (S,) + x.shape), avg)
+        mixed = collectives.sigma_mix(payload, avg_b, cfg.segema)
+        mixed = collectives.select_update_tree(
+            payload, mixed, sync_mask.astype(jnp.float32))
+        new_params = put(g.params, mixed[0])
+        new_bn = put(g.bn, mixed[1])
+        return NetState(new_params, new_bn, g.opt)
+
+    def round_fn(state: FedState):
+        t = state.t
+        g = state.g
+        if cloud_enabled:
+            g = cloud_sync(g, t)
+        keys = jax.random.split(prng.for_round(root, t), S)
+        new_g, new_d, lam_new, metrics = jax.vmap(server_round)(
+            g, state.d, state.lam, beta, shards, lengths, keys)
+        metrics = jax.tree.map(jnp.mean, metrics)
+        return FedState(new_g, new_d, lam_new, t + 1), metrics
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnames=("n",))
+    def sample(state: FedState, n: int):
+        """Painter semantics: per server, G(fixed_z) in eval mode; multi-path
+        output is the concat of all heads, strided back down to the per-server
+        quota (capgan.py:79-83)."""
+        per = max(n // S, 1)
+
+        def one(gp, gbn, i):
+            z = jax.random.normal(
+                prng.for_member(prng.for_role(root, prng.ROLE_EVAL), i),
+                (per, zdim))
+            out, _ = g_model.apply(gp, gbn, z, train=False)
+            if multipath:
+                out = out.reshape((k * per,) + out.shape[2:])[::k]
+            return out
+
+        outs = jax.vmap(one)(state.g.params, state.g.bn, jnp.arange(S))
+        return outs.reshape((S * per,) + outs.shape[2:])
+
+    return runner_mod.Runner(cfg, part, init_state, round_fn, sample)

@@ -1,0 +1,144 @@
+"""AC-GAN and MD-GAN: central generator(s), distributed discriminators,
+loss feedback.
+
+Reference protocol (ACGAN/2DMG/acgan.py:102-257, MDGAN/MNIST/mdgan.py:107-297):
+each server generates a detached fake batch Xd and a live one Xg, queues both
+to its clients; each client trains its D ``epoch`` steps on (real, Xd) and
+returns the *live autograd tensor* ``BCE(D(Xg), 1)``; the server averages the
+returned losses, backprops them through its own G and steps Adam.
+
+TPU design: the cross-thread autograd disappears — server-G forward, the W
+vmapped D updates, and the G backward are one differentiable jitted function
+(SURVEY.md §2.3).  The (S servers x k clients) topology is a reshape of the
+stacked D state; every per-client op is ``vmap`` over (S, k).
+
+The every-E-rounds exchanges the reference left commented are implemented
+for real (cfg.E > 0):
+* AC-GAN — clients of one server average their Ds (ACGAN/MNIST/acgan.py:240-263).
+* MD-GAN — global ring D-swap (MDGAN/MNIST/mdgan.py:158-164, 258-262).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cglgan_tpu.algos import common, runner as runner_mod
+from cglgan_tpu.algos.common import FedState, NetState
+from cglgan_tpu.core import prng
+from cglgan_tpu.core.config import FedGANConfig
+from cglgan_tpu.data.partition import Partition
+from cglgan_tpu.fed import collectives
+from cglgan_tpu.models.zoo import models_for_config
+
+
+def build_mdgan_family(cfg: FedGANConfig, part: Partition) -> runner_mod.Runner:
+    """algo == "acgan" (multi-server) or "mdgan" (single central G)."""
+    S, k = cfg.num_servers, cfg.clients_per_server
+    if cfg.algo == "mdgan" and S != 1:
+        raise ValueError("mdgan has one central generator (num_servers=1)")
+    g_model, d_model = models_for_config(cfg)
+    head = "raw" if cfg.conv else cfg.resolved_d_head
+    adv = common.make_adv_loss(head)
+    opt_g = optax.adam(cfg.lr_g, b1=cfg.b1, b2=cfg.b2)
+    opt_d = optax.adam(cfg.lr_d, b1=cfg.b1, b2=cfg.b2)
+    B, zdim = cfg.batch_size, cfg.latent_dim
+    root = prng.root_key(cfg.seed)
+
+    # shards grouped by server: (S, k, max_len, ...)
+    shards = jnp.asarray(part.data).reshape((S, k) + part.data.shape[1:])
+    lengths = jnp.asarray(part.lengths).reshape(S, k)
+
+    d_step = common.d_epoch_steps(
+        common.d_step_fn(d_model, adv, opt_d, B, cfg.is_image,
+                         d_loss_half=False), cfg.epoch)
+
+    def init_state():
+        gp, gbn, gopt = jax.vmap(
+            lambda kk: (lambda p, b: (p, b, opt_g.init(p)))(*g_model.init(kk))
+        )(jax.random.split(prng.for_role(root, prng.ROLE_INIT_G), S))
+        dn = common.init_net_stacked(
+            d_model, prng.for_role(root, prng.ROLE_INIT_D), opt_d, S * k)
+        dn = NetState(*jax.tree.map(
+            lambda x: x.reshape((S, k) + x.shape[1:]), tuple(dn)))
+        return FedState(NetState(gp, gbn, gopt), dn, None, jnp.int32(0))
+
+    def server_round(g_net: NetState, d_block: NetState, shard_blk, len_blk,
+                     key):
+        """One server's round over its k clients."""
+        k_zd, k_zg, k_d = jax.random.split(key, 3)
+        # Xd: detached fake batch; BN buffers still advance (torch modules in
+        # train mode update running stats even under no_grad)
+        z_d = jax.random.normal(k_zd, (B, zdim))
+        xd, gbn1 = g_model.apply(g_net.params, g_net.bn, z_d, train=True)
+        xd = jax.lax.stop_gradient(xd)
+
+        # every client trains its D `epoch` steps on (real, Xd)
+        d_keys = jax.random.split(k_d, k)
+        new_d, d_loss = jax.vmap(d_step, in_axes=(0, 0, 0, None, 0))(
+            d_block, shard_blk, len_blk, xd, d_keys)
+
+        # G update: mean of the k client losses through the *updated* Ds
+        z_g = jax.random.normal(k_zg, (B, zdim))
+
+        def g_obj(gp, gbn):
+            fake, gbn2 = g_model.apply(gp, gbn, z_g, train=True)
+            per_client, _ = jax.vmap(
+                lambda dp, dbn: d_model.apply(dp, dbn, fake, train=True))(
+                new_d.params, new_d.bn)
+            losses = jax.vmap(lambda o: adv(o, 1.0))(per_client)
+            return losses.mean(), (gbn2, losses)
+
+        (g_loss, (gbn2, losses)), grads = jax.value_and_grad(
+            g_obj, has_aux=True)(g_net.params, gbn1)
+        up, gopt2 = opt_g.update(grads, g_net.opt, g_net.params)
+        new_g = NetState(optax.apply_updates(g_net.params, up), gbn2, gopt2)
+        return new_g, new_d, {"d_loss": d_loss.mean(), "g_loss": g_loss}
+
+    def round_fn(state: FedState):
+        t = state.t
+        key = prng.for_round(root, t)
+        keys = jax.random.split(key, S)
+        new_g, new_d, metrics = jax.vmap(server_round)(
+            state.g, state.d, shards, lengths, keys)
+        metrics = jax.tree.map(jnp.mean, metrics)
+
+        if cfg.E > 0:
+            flat_d = jax.tree.map(
+                lambda x: x.reshape((S * k,) + x.shape[2:]), new_d)
+            if cfg.algo == "mdgan":
+                shared = NetState(collectives.ring_shift_tree(flat_d.params, 1),
+                                  collectives.ring_shift_tree(flat_d.bn, 1),
+                                  flat_d.opt)
+            else:
+                shared = NetState(
+                    collectives.neighbor_share_tree(flat_d.params, k),
+                    collectives.neighbor_share_tree(flat_d.bn, k),
+                    flat_d.opt)
+            shared = jax.tree.map(
+                lambda x: x.reshape((S, k) + x.shape[1:]), shared)
+            do_share = (t + 1) % cfg.E == 0
+            new_d = jax.tree.map(
+                lambda a, b: jnp.where(do_share, a, b), shared, new_d)
+
+        return FedState(new_g, new_d, None, t + 1), metrics
+
+    @partial(jax.jit, static_argnames=("n",))
+    def sample(state: FedState, n: int):
+        """Eval samples: each server contributes n/S (the painter pools
+        per-server fixed_z outputs, ACGAN/2DMG/acgan.py:69-75)."""
+        per = n // S
+
+        def one(gp, gbn, i):
+            z = jax.random.normal(
+                prng.for_member(prng.for_role(root, prng.ROLE_EVAL), i),
+                (per, zdim))
+            out, _ = g_model.apply(gp, gbn, z, train=False)
+            return out
+
+        outs = jax.vmap(one)(state.g.params, state.g.bn, jnp.arange(S))
+        return outs.reshape((S * per,) + outs.shape[2:])
+
+    return runner_mod.Runner(cfg, part, init_state, round_fn, sample)
