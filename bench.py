@@ -1,0 +1,58 @@
+"""Headline benchmark: 16-client CAP-GAN MNIST federated rounds/sec on TPU.
+
+This is BASELINE.md's north-star workload (16-client CAP-GAN, batch 100,
+MNIST-shaped data).  The baseline denominator is the reference's execution
+architecture — torch CPU, one thread per federated node, queue transport —
+self-measured by benchmarks/torch_baseline.py on this machine (the reference
+publishes no numbers; see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Self-measured via `python benchmarks/torch_baseline.py` on this image
+# (torch 1-thread CPU, 16 workers, batch 100, CAP-GAN protocol): 4.08 r/s.
+TORCH_CPU_BASELINE_RPS = 4.08
+
+
+def main():
+    import jax
+
+    from cglgan_tpu.algos.registry import build_runner
+    from cglgan_tpu.algos.runner import scan_rounds
+    from cglgan_tpu.core.config import FedGANConfig
+
+    cfg = FedGANConfig(algo="capgan", dataset="synthetic-mnist",
+                       num_workers=16, num_servers=1, iid=1, batch_size=100,
+                       epoch=1, num_communication=20000)
+    runner = build_runner(cfg)
+    state = runner.init_state()
+
+    chunk = 200
+    run = scan_rounds(runner.round_fn, chunk)
+    state, _ = run(state)                    # compile + warm
+    jax.block_until_ready(state)
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, metrics = run(state)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    rps = reps * chunk / dt
+
+    print(json.dumps({
+        "metric": "capgan16_mnist_rounds_per_sec",
+        "value": round(rps, 2),
+        "unit": "federated rounds/sec (16 clients, batch 100)",
+        "vs_baseline": round(rps / TORCH_CPU_BASELINE_RPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,7 +46,14 @@ from cglgan_tpu.models import nn as fnn
 from cglgan_tpu.models.zoo import models_for_config
 
 
-def build_cgl_family(cfg: FedGANConfig, part: Partition) -> runner_mod.Runner:
+def build_cgl_family(cfg: FedGANConfig, part: Partition,
+                     mesh=None) -> runner_mod.Runner:
+    """``mesh``: optional jax.sharding.Mesh with a 'clients' axis — client
+    shards and all stacked-per-client state are placed split over it, so the
+    same jitted round partitions across chips (SPMD; FedAvg and the loss
+    reductions lower to ICI collectives)."""
+    from jax.sharding import PartitionSpec as P
+    from cglgan_tpu.core import meshes
     S, k = cfg.num_servers, cfg.clients_per_server
     algo = cfg.algo
     multipath = algo in ("cglgan", "mixgan")
@@ -60,8 +67,12 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition) -> runner_mod.Runner:
     B, zdim = cfg.batch_size, cfg.latent_dim
     root = prng.root_key(cfg.seed)
 
-    shards = jnp.asarray(part.data).reshape((S, k) + part.data.shape[1:])
-    lengths = jnp.asarray(part.lengths).reshape(S, k)
+    spec_sk = P(None, "clients")
+    shards = meshes.place(
+        jnp.asarray(part.data).reshape((S, k) + part.data.shape[1:]),
+        mesh, spec_sk)
+    lengths = meshes.place(jnp.asarray(part.lengths).reshape(S, k),
+                           mesh, spec_sk)
     beta = jnp.asarray(topology.server_beta(part.lengths, S))      # (S, k)
     data_len = topology.server_data_len(part.lengths, S)           # (S,)
     a_weights = jnp.asarray((data_len / data_len.sum()).astype(np.float32))
@@ -100,8 +111,11 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition) -> runner_mod.Runner:
             jax.random.split(prng.for_role(root, prng.ROLE_INIT_D), S * k))
         dn = NetState(*jax.tree.map(
             lambda x: x.reshape((S, k) + x.shape[1:]), (dp, dbn, dopt)))
+        dn = NetState(*(meshes.place(t, mesh, spec_sk) for t in dn))
+        gn = NetState(*(meshes.place(t, mesh, P()) for t in
+                        (gp, gbn, gopt)))
         lam = jnp.zeros((S,), jnp.float32)   # Lambda starts at 0 (capgan.py:140)
-        return FedState(NetState(gp, gbn, gopt), dn, lam, jnp.int32(0))
+        return FedState(gn, dn, lam, jnp.int32(0))
 
     # ------------------------------------------------------------------
     def per_client_losses(gp, gbn, z_g, d_new: NetState):

@@ -34,8 +34,12 @@ from cglgan_tpu.fed import collectives
 from cglgan_tpu.models.zoo import models_for_config
 
 
-def build_mdgan_family(cfg: FedGANConfig, part: Partition) -> runner_mod.Runner:
-    """algo == "acgan" (multi-server) or "mdgan" (single central G)."""
+def build_mdgan_family(cfg: FedGANConfig, part: Partition,
+                       mesh=None) -> runner_mod.Runner:
+    """algo == "acgan" (multi-server) or "mdgan" (single central G).
+    ``mesh``: optional clients-axis mesh for multi-chip SPMD."""
+    from jax.sharding import PartitionSpec as P
+    from cglgan_tpu.core import meshes
     S, k = cfg.num_servers, cfg.clients_per_server
     if cfg.algo == "mdgan" and S != 1:
         raise ValueError("mdgan has one central generator (num_servers=1)")
@@ -48,8 +52,12 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition) -> runner_mod.Runner:
     root = prng.root_key(cfg.seed)
 
     # shards grouped by server: (S, k, max_len, ...)
-    shards = jnp.asarray(part.data).reshape((S, k) + part.data.shape[1:])
-    lengths = jnp.asarray(part.lengths).reshape(S, k)
+    spec_sk = P(None, "clients")
+    shards = meshes.place(
+        jnp.asarray(part.data).reshape((S, k) + part.data.shape[1:]),
+        mesh, spec_sk)
+    lengths = meshes.place(jnp.asarray(part.lengths).reshape(S, k),
+                           mesh, spec_sk)
 
     d_step = common.d_epoch_steps(
         common.d_step_fn(d_model, adv, opt_d, B, cfg.is_image,
@@ -63,7 +71,9 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition) -> runner_mod.Runner:
             d_model, prng.for_role(root, prng.ROLE_INIT_D), opt_d, S * k)
         dn = NetState(*jax.tree.map(
             lambda x: x.reshape((S, k) + x.shape[1:]), tuple(dn)))
-        return FedState(NetState(gp, gbn, gopt), dn, None, jnp.int32(0))
+        dn = NetState(*(meshes.place(t, mesh, spec_sk) for t in dn))
+        gn = NetState(*(meshes.place(t, mesh, P()) for t in (gp, gbn, gopt)))
+        return FedState(gn, dn, None, jnp.int32(0))
 
     def server_round(g_net: NetState, d_block: NetState, shard_blk, len_blk,
                      key):

@@ -36,19 +36,22 @@ def load_partition(cfg: FedGANConfig) -> Partition:
                      run_subsample=run_sub)
 
 
-def build_runner(cfg: FedGANConfig, part: Optional[Partition] = None):
+def build_runner(cfg: FedGANConfig, part: Optional[Partition] = None,
+                 mesh=None):
+    """``mesh``: optional jax.sharding.Mesh with a 'clients' axis; stacked
+    per-client state and data shards are placed split over it."""
     if part is None:
         part = load_partition(cfg)
     if cfg.algo in ("flgan",):
         from cglgan_tpu.algos.fedavg_family import build_flgan
-        return build_flgan(cfg, part)
+        return build_flgan(cfg, part, mesh)
     if cfg.algo == "fegan":
         from cglgan_tpu.algos.fedavg_family import build_fegan
-        return build_fegan(cfg, part)
+        return build_fegan(cfg, part, mesh)
     if cfg.algo in ("acgan", "mdgan"):
         from cglgan_tpu.algos.mdgan_family import build_mdgan_family
-        return build_mdgan_family(cfg, part)
+        return build_mdgan_family(cfg, part, mesh)
     if cfg.algo in ("cglgan", "capgan", "mixgan"):
         from cglgan_tpu.algos.cgl_family import build_cgl_family
-        return build_cgl_family(cfg, part)
+        return build_cgl_family(cfg, part, mesh)
     raise ValueError(f"unknown algo {cfg.algo!r}")

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -50,6 +51,18 @@ def shard_client_tree(tree, mesh: Mesh):
     split across the mesh."""
     sh = client_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def place(tree, mesh: Optional[Mesh], spec: P):
+    """device_put every leaf with NamedSharding(mesh, spec); identity when no
+    mesh is given (single-chip).  ``spec`` names the stacked federation axes,
+    e.g. P('clients') for (W, ...) leaves or P(None, 'clients') for
+    (S, k, ...) leaves."""
+    import jax.numpy as jnp
+    if mesh is None:
+        return jax.tree.map(jnp.asarray, tree)
+    sh = NamedSharding(mesh, spec)
+    return jax.tree.map(lambda x: jax.device_put(jnp.asarray(x), sh), tree)
 
 
 def replicate_tree(tree, mesh: Mesh):
