@@ -1,0 +1,58 @@
+"""Run-directory management and structured metrics logging.
+
+Replaces the reference's observability stack — timestamped
+``./logger/<SimulationName>/`` dirs (CGLGAN/MNIST/main.py:485-491), prints
+under a lock, pandas ``df.append`` -> ``.xlsx`` per tick (uses an API removed
+from pandas; FLGAN/2DMG/flgan.py:102) — with a structured JSONL stream plus a
+CSV mirror (no openpyxl in this image) and a JSON config dump.
+"""
+from __future__ import annotations
+
+import csv
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Optional
+
+
+class RunDir:
+    """A run directory: ``<root>/<name>/`` with config.json, metrics.jsonl,
+    metrics.csv and image artifacts."""
+
+    def __init__(self, root: str = "./logger", name: Optional[str] = None,
+                 cfg=None):
+        if name is None:
+            stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
+            algo = getattr(cfg, "algo", "run") if cfg is not None else "run"
+            ds = getattr(cfg, "dataset", "") if cfg is not None else ""
+            iid = getattr(cfg, "iid", "") if cfg is not None else ""
+            name = f"{stamp}-{algo}-{ds}-iid{iid}"
+        self.path = os.path.join(root, name)
+        os.makedirs(self.path, exist_ok=True)
+        self._jsonl = open(os.path.join(self.path, "metrics.jsonl"), "a")
+        self._csv_path = os.path.join(self.path, "metrics.csv")
+        self._csv_fields = None
+        if cfg is not None:
+            with open(os.path.join(self.path, "config.json"), "w") as f:
+                json.dump(dataclasses.asdict(cfg), f, indent=2)
+
+    def file(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def log(self, record: Dict) -> None:
+        self._jsonl.write(json.dumps(record) + "\n")
+        self._jsonl.flush()
+        fields = list(record.keys())
+        new_file = self._csv_fields is None
+        if new_file:
+            self._csv_fields = fields
+        with open(self._csv_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._csv_fields,
+                               extrasaction="ignore")
+            if new_file:
+                w.writeheader()
+            w.writerow(record)
+
+    def close(self) -> None:
+        self._jsonl.close()
