@@ -132,18 +132,19 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
         return losses, gbn2
 
     def server_round(g_net: NetState, d_block: NetState, lam, beta_s,
-                     shard_blk, len_blk, key):
+                     shard_blk, starts, key):
         k_zd, k_zg, k_d = jax.random.split(key, 3)
         # Xd (detached; BN buffers advance as torch train-mode no_grad does)
         z_d = jax.random.normal(k_zd, (B, zdim))
         xd, gbn1 = g_model.apply(g_net.params, g_net.bn, z_d, train=True)
         xd = jax.lax.stop_gradient(xd)
-        xd_routed = xd if multipath else jnp.broadcast_to(
-            xd[None], (k,) + xd.shape)
 
         d_keys = jax.random.split(k_d, k)
-        new_d, d_loss = jax.vmap(d_step)(d_block, shard_blk, len_blk,
-                                         xd_routed, d_keys)
+        # starts unbatched: all k real batches load as one contiguous slice
+        fake_ax = 0 if multipath else None
+        new_d, d_loss = jax.vmap(
+            d_step, in_axes=(0, 0, None, fake_ax, 0))(
+            d_block, shard_blk, starts, xd, d_keys)
 
         z_g = jax.random.normal(k_zg, (B, zdim))
         # losses once (the workers' returned values) -> game weights
@@ -208,14 +209,21 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
         new_bn = put(g.bn, mixed[1])
         return NetState(new_params, new_bn, g.opt)
 
+    max_len = part.data.shape[1]
+
     def round_fn(state: FedState):
         t = state.t
         g = state.g
         if cloud_enabled:
             g = cloud_sync(g, t)
-        keys = jax.random.split(prng.for_round(root, t), S)
-        new_g, new_d, lam_new, metrics = jax.vmap(server_round)(
-            g, state.d, state.lam, beta, shards, lengths, keys)
+        key = prng.for_round(root, t)
+        starts = jax.vmap(
+            lambda kk: common.batch_start(kk, max_len, B))(
+            jax.random.split(prng.for_role(key, prng.ROLE_BATCH), cfg.epoch))
+        keys = jax.random.split(key, S)
+        new_g, new_d, lam_new, metrics = jax.vmap(
+            server_round, in_axes=(0, 0, 0, 0, 0, None, 0))(
+            g, state.d, state.lam, beta, shards, starts, keys)
         metrics = jax.tree.map(jnp.mean, metrics)
         return FedState(new_g, new_d, lam_new, t + 1), metrics
 

@@ -61,7 +61,7 @@ def make_adv_loss(head: str) -> Callable:
 # ---------------------------------------------------------------------------
 
 def normalize_images(x):
-    """uint8 HxW -> float NCHW in [-1,1], the reference's
+    """uint8 -> float in [-1,1], the reference's
     ToTensor+Normalize([0.5],[0.5]) (capgan.py:466-469)."""
     x = x.astype(jnp.float32) / 255.0
     x = (x - 0.5) / 0.5
@@ -71,15 +71,32 @@ def normalize_images(x):
 
 
 def sample_batch(shard, length, key, batch_size: int):
-    """Uniform minibatch from one client shard (approximates the reference's
-    shuffle=True DataLoader draw; identical in distribution for i.i.d. batch
-    order).  ``shard`` is wrap-padded so any index < max_len is valid, but we
-    draw < length for exactness."""
+    """Uniform random-row minibatch (gather).  Kept for reference/testing;
+    the hot path uses ``batch_start``+``slice_batch`` below — on TPU a
+    dynamic-index gather of B rows costs ~3x the whole D update."""
     idx = jax.random.randint(key, (batch_size,), 0, jnp.maximum(length, 1))
     return jnp.take(shard, idx, axis=0)
 
 
+def batch_start(key, max_len: int, batch_size: int):
+    """A shared random window offset.  Shard rows are independently
+    pre-shuffled by the host partitioner (rd.sample order) and wrap-padded,
+    so one offset shared across clients yields independent, uniformly
+    distributed batches — and the extraction lowers to a single contiguous
+    dynamic-slice instead of W scattered gathers."""
+    return jax.random.randint(key, (), 0, max(max_len - batch_size, 1))
+
+
+def slice_batch(shard, start, batch_size: int):
+    """Contiguous window [start, start+B) of one client's pre-shuffled shard.
+    Under vmap with an unbatched ``start`` this is one sliced load for all
+    clients.  Equivalent to a shuffle-once DataLoader epoch draw."""
+    return jax.lax.dynamic_slice_in_dim(shard, start, batch_size, axis=0)
+
+
 def prepare_real(batch, is_image: bool):
+    """Image shards are stored flat (B, H*W) uint8 for slice-friendly layout;
+    MLP discriminators consume them flat, conv ones reshape at apply time."""
     return normalize_images(batch) if is_image else batch
 
 
@@ -137,12 +154,13 @@ def apply_updates(net: NetState, grads, opt, new_bn=None) -> NetState:
 
 def d_step_fn(d_model, adv_loss, opt, batch_size: int, is_image: bool,
               d_loss_half: bool):
-    """Build ``step(d_net, shard, length, fake, key) -> (d_net, d_loss)``:
-    one local D update on (real batch, given fakes).  D_loss = real + fake,
+    """Build ``step(d_net, shard, start, fake, key) -> (d_net, d_loss)``:
+    one local D update on (real window, given fakes).  D_loss = real + fake,
     halved for CAP/Mix (capgan.py:339, mixed-gan.py:382).
 
-    vmap this over the stacked clients axis: W tiny MLP steps fuse into
-    batched matmuls on the MXU."""
+    vmap this over the stacked clients axis with ``start`` unbatched
+    (in_axes=None): W tiny MLP steps fuse into batched matmuls on the MXU and
+    the W real batches load as one contiguous slice."""
 
     def loss_fn(params, bn, real, fake, rng):
         out_r, bn1 = d_model.apply(params, bn, real, train=True, rng=rng)
@@ -152,12 +170,10 @@ def d_step_fn(d_model, adv_loss, opt, batch_size: int, is_image: bool,
             loss = loss * 0.5
         return loss, bn2
 
-    def step(d_net: NetState, shard, length, fake, key):
-        k_batch, k_drop = jax.random.split(key)
-        real = prepare_real(sample_batch(shard, length, k_batch, batch_size),
-                            is_image)
+    def step(d_net: NetState, shard, start, fake, key):
+        real = prepare_real(slice_batch(shard, start, batch_size), is_image)
         (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            d_net.params, d_net.bn, real, jax.lax.stop_gradient(fake), k_drop)
+            d_net.params, d_net.bn, real, jax.lax.stop_gradient(fake), key)
         updates, new_opt = opt.update(grads, d_net.opt, d_net.params)
         return NetState(optax.apply_updates(d_net.params, updates),
                         new_bn, new_opt), loss
@@ -167,13 +183,19 @@ def d_step_fn(d_model, adv_loss, opt, batch_size: int, is_image: bool,
 
 def d_epoch_steps(step, epoch: int):
     """Repeat a local D step ``epoch`` times (the reference inner loop,
-    capgan.py:324-341), re-keying the batch draw each iteration."""
-    def multi(d_net, shard, length, fake, key):
-        def body(carry, k):
+    capgan.py:324-341).  ``starts``: (epoch,) shared window offsets."""
+    if epoch == 1:
+        def single(d_net, shard, starts, fake, key):
+            return step(d_net, shard, starts[0], fake, key)
+        return single
+
+    def multi(d_net, shard, starts, fake, key):
+        def body(carry, inp):
             net, _ = carry
-            net, loss = step(net, shard, length, fake, k)
+            st, k = inp
+            net, loss = step(net, shard, st, fake, k)
             return (net, loss), None
         (net, loss), _ = jax.lax.scan(body, (d_net, jnp.float32(0)),
-                                      jax.random.split(key, epoch))
+                                      (starts, jax.random.split(key, epoch)))
         return net, loss
     return multi

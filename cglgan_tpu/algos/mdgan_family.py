@@ -75,7 +75,7 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
         gn = NetState(*(meshes.place(t, mesh, P()) for t in (gp, gbn, gopt)))
         return FedState(gn, dn, None, jnp.int32(0))
 
-    def server_round(g_net: NetState, d_block: NetState, shard_blk, len_blk,
+    def server_round(g_net: NetState, d_block: NetState, shard_blk, starts,
                      key):
         """One server's round over its k clients."""
         k_zd, k_zg, k_d = jax.random.split(key, 3)
@@ -85,10 +85,11 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
         xd, gbn1 = g_model.apply(g_net.params, g_net.bn, z_d, train=True)
         xd = jax.lax.stop_gradient(xd)
 
-        # every client trains its D `epoch` steps on (real, Xd)
+        # every client trains its D `epoch` steps on (real, Xd); shared
+        # window offsets -> one contiguous slice for all k real batches
         d_keys = jax.random.split(k_d, k)
-        new_d, d_loss = jax.vmap(d_step, in_axes=(0, 0, 0, None, 0))(
-            d_block, shard_blk, len_blk, xd, d_keys)
+        new_d, d_loss = jax.vmap(d_step, in_axes=(0, 0, None, None, 0))(
+            d_block, shard_blk, starts, xd, d_keys)
 
         # G update: mean of the k client losses through the *updated* Ds
         z_g = jax.random.normal(k_zg, (B, zdim))
@@ -107,12 +108,18 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
         new_g = NetState(optax.apply_updates(g_net.params, up), gbn2, gopt2)
         return new_g, new_d, {"d_loss": d_loss.mean(), "g_loss": g_loss}
 
+    max_len = part.data.shape[1]
+
     def round_fn(state: FedState):
         t = state.t
         key = prng.for_round(root, t)
+        starts = jax.vmap(
+            lambda kk: common.batch_start(kk, max_len, B))(
+            jax.random.split(prng.for_role(key, prng.ROLE_BATCH), cfg.epoch))
         keys = jax.random.split(key, S)
-        new_g, new_d, metrics = jax.vmap(server_round)(
-            state.g, state.d, shards, lengths, keys)
+        new_g, new_d, metrics = jax.vmap(
+            server_round, in_axes=(0, 0, 0, None, 0))(
+            state.g, state.d, shards, starts, keys)
         metrics = jax.tree.map(jnp.mean, metrics)
 
         if cfg.E > 0:

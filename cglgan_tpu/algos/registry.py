@@ -27,6 +27,13 @@ def load_partition(cfg: FedGANConfig) -> Partition:
     else:
         data, labels = load_image_dataset(cfg.dataset, cfg.data_dir,
                                           seed=cfg.seed)
+        if cfg.conv and data.shape[1] == 28:
+            # conv LSGAN pair works at 32x32 (model/lsgan.py:7); the reference
+            # bilinear-Resizes — zero-padding 2px preserves content exactly
+            data = np.pad(data, ((0, 0), (2, 2), (2, 2)))
+        # store shards flat (N, H*W): contiguous-lane layout makes the
+        # per-round batch slice ~4x faster on TPU than (N, H, W) u8 gathers
+        data = data.reshape(len(data), -1)
         num_sample = cfg.num_sample
         comp = None
         run_sub = True    # dataset-object variant subsamples runs (capgan.py:412-424)

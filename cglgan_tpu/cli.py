@@ -102,11 +102,13 @@ def cmd_run(args) -> int:
     print(f"[tpufed] shards: {part.lengths.tolist()}")
 
     # per-device distribution previews (CGLGAN/MNIST/main.py:499-501)
+    img_side = cfg.img_size + 4 if cfg.conv else cfg.img_size
     for i in range(min(cfg.num_workers, 32)):
         L = int(part.lengths[i])
         sel = part.data[i, :min(L, 100)]
         if cfg.is_image:
-            save_image_grid(sel.astype(np.float32) / 255.0,
+            save_image_grid(sel.reshape(-1, img_side, img_side).astype(
+                np.float32) / 255.0,
                             run_dir.file(f"device_{i}.png"), normalize=False)
         else:
             save_scatter_2d(run_dir.file(f"device_{i}.png"), sel)
@@ -163,13 +165,13 @@ def cmd_run(args) -> int:
         from cglgan_tpu.evalx.fid import (classifier_probe,
                                           conv_feature_extractor, fid,
                                           inception_score)
-        extractor = conv_feature_extractor(cfg.img_size)
-        data_all, labels_all = part.data.reshape(-1, cfg.img_size, cfg.img_size), \
-            part.labels.reshape(-1)
+        extractor = conv_feature_extractor(img_side)
+        data_all = part.data.reshape(-1, img_side, img_side)
+        labels_all = part.labels.reshape(-1)
         probe = classifier_probe(data_all[:20000], labels_all[:20000],
                                  cfg.num_class, steps=300)
         real_eval = (eval_pool[:100].astype(np.float32) / 255.0 - 0.5) / 0.5
-        real_eval = real_eval[:, None, :, :]
+        real_eval = real_eval.reshape(-1, 1, img_side, img_side)
 
     chunk_n = max(1, min(cfg.num_plt, remaining))
     chunk = scan_rounds(runner.round_fn, chunk_n)
@@ -189,7 +191,7 @@ def cmd_run(args) -> int:
             tick["mode_coverage"] = float(mode_coverage(samples, eval_pool))
         else:
             gen = np.asarray(runner.sample(state, 100)).reshape(
-                -1, 1, cfg.img_size, cfg.img_size)[:100]
+                -1, 1, img_side, img_side)[:100]
             tick["fid"] = fid(extractor, gen, real_eval)
             tick["inception_score"] = inception_score(probe, gen,
                                                       cfg.num_class)

@@ -218,6 +218,9 @@ def _conv_d_init(key, dtype=jnp.float32):
 
 
 def _conv_d_apply(params, state, x, train=True, rng=None):
+    if x.ndim == 2:      # flat real batches from the slice-layout data path
+        side = int(x.shape[1] ** 0.5)
+        x = x.reshape(x.shape[0], 1, side, side)
     if rng is None:
         rng = jax.random.key(0)
     new_state = dict(state)
