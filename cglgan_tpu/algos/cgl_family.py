@@ -88,7 +88,8 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
     cloud_enabled = cfg.cloud_epoch > 0
 
     d_step = common.d_epoch_steps(
-        common.d_step_fn(d_model, adv, opt_d, B, cfg.is_image, d_loss_half),
+        common.d_step_fn(d_model, adv, opt_d, B, cfg.is_image,
+                         d_loss_half, fuse_concat=not cfg.conv),
         cfg.epoch)
 
     def init_state():
@@ -147,34 +148,23 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
             d_block, shard_blk, starts, xd, d_keys)
 
         z_g = jax.random.normal(k_zg, (B, zdim))
-        # losses once (the workers' returned values) -> game weights
-        losses0, _ = per_client_losses(g_net.params, gbn1, z_g, new_d)
+        # ONE generator forward; the loss vector is both the workers'
+        # returned values (game weights) and the primal for the two
+        # constant-weighted backwards — d(sum l)/d(heads) with trunk frozen
+        # and d(sum w*l)/d(trunk) with heads frozen are two VJP pullbacks
+        # with cotangents (1, ..., 1) and w (CGLGAN/MNIST/main.py:272-289).
+        losses_fn = lambda gp: per_client_losses(gp, gbn1, z_g, new_d)
+        losses0, pullback, gbn2 = jax.vjp(losses_fn, g_net.params,
+                                          has_aux=True)
         game = game_step(weighting, losses0, beta_s, lam, cfg.lr_lambda)
 
         if multipath:
-            # heads <- d(sum l)/d(heads), trunk frozen; trunk <- d(F)/d(trunk),
-            # heads frozen (CGLGAN/MNIST/main.py:272-289)
-            def heads_obj(gp):
-                l, bn2 = per_client_losses(gp, gbn1, z_g, new_d)
-                return l.sum(), bn2
-
-            def trunk_obj(gp):
-                l, _ = per_client_losses(gp, gbn1, z_g, new_d)
-                return jnp.sum(game.w * l)
-
-            (sum_l, gbn2), g_heads = jax.value_and_grad(
-                heads_obj, has_aux=True)(g_net.params)
-            g_trunk = jax.grad(trunk_obj)(g_net.params)
+            g_heads = pullback(jnp.ones_like(losses0))[0]
+            g_trunk = pullback(game.w.astype(losses0.dtype))[0]
             grads = {"trunk": g_trunk["trunk"], "heads": g_heads["heads"]}
-            f_max = jnp.sum(game.w * losses0) - game.lam_coeff * lam
         else:
-            def g_obj(gp):
-                l, bn2 = per_client_losses(gp, gbn1, z_g, new_d)
-                return jnp.sum(game.w * l), bn2
-
-            (f_val, gbn2), grads = jax.value_and_grad(
-                g_obj, has_aux=True)(g_net.params)
-            f_max = f_val - game.lam_coeff * lam
+            grads = pullback(game.w.astype(losses0.dtype))[0]
+        f_max = jnp.sum(game.w * losses0) - game.lam_coeff * lam
 
         up, gopt2 = opt_g.update(grads, g_net.opt, g_net.params)
         new_g = NetState(optax.apply_updates(g_net.params, up), gbn2, gopt2)

@@ -153,16 +153,32 @@ def apply_updates(net: NetState, grads, opt, new_bn=None) -> NetState:
 # ---------------------------------------------------------------------------
 
 def d_step_fn(d_model, adv_loss, opt, batch_size: int, is_image: bool,
-              d_loss_half: bool):
+              d_loss_half: bool, fuse_concat: bool = True):
     """Build ``step(d_net, shard, start, fake, key) -> (d_net, d_loss)``:
     one local D update on (real window, given fakes).  D_loss = real + fake,
     halved for CAP/Mix (capgan.py:339, mixed-gan.py:382).
 
     vmap this over the stacked clients axis with ``start`` unbatched
     (in_axes=None): W tiny MLP steps fuse into batched matmuls on the MXU and
-    the W real batches load as one contiguous slice."""
+    the W real batches load as one contiguous slice.
+
+    ``fuse_concat``: run real and fake through ONE forward on the (2B, ...)
+    concatenation — halves D weight-read traffic (the D-step is HBM-bound)
+    and is exactly equal for stateless Ds:
+    mean over 2B == (mean_real + mean_fake)/2.  Disabled for the conv D,
+    whose BatchNorm computes per-forward batch statistics."""
 
     def loss_fn(params, bn, real, fake, rng):
+        if fuse_concat:
+            if real.ndim != fake.ndim:   # flat real vs NCHW fake (MLP path)
+                fake = fake.reshape(fake.shape[0], -1)
+            both = jnp.concatenate([real, fake], axis=0)
+            out, bn2 = d_model.apply(params, bn, both, train=True, rng=rng)
+            # mean over the 2B rows = (loss_real + loss_fake)/2
+            half = adv_loss(out[:batch_size], 1.0) * 0.5 \
+                + adv_loss(out[batch_size:], 0.0) * 0.5
+            loss = half if d_loss_half else half * 2.0
+            return loss, bn2
         out_r, bn1 = d_model.apply(params, bn, real, train=True, rng=rng)
         out_f, bn2 = d_model.apply(params, bn1, fake, train=True, rng=rng)
         loss = adv_loss(out_r, 1.0) + adv_loss(out_f, 0.0)

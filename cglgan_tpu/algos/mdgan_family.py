@@ -61,7 +61,8 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
 
     d_step = common.d_epoch_steps(
         common.d_step_fn(d_model, adv, opt_d, B, cfg.is_image,
-                         d_loss_half=False), cfg.epoch)
+                         d_loss_half=False, fuse_concat=not cfg.conv),
+        cfg.epoch)
 
     def init_state():
         gp, gbn, gopt = jax.vmap(
