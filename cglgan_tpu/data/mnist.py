@@ -84,8 +84,22 @@ def _glyph_bank(img: int = 28) -> np.ndarray:
 
 
 def synthetic_mnist(n: int = 60000, num_class: int = 10, img: int = 28,
-                    seed: int = 20211212) -> Tuple[np.ndarray, np.ndarray]:
-    """Deterministic label-conditioned glyph dataset, uint8 (n, img, img)."""
+                    seed: int = 20211212,
+                    backend: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic label-conditioned glyph dataset, uint8 (n, img, img).
+
+    ``backend``: "native" (C++ dataplane, ~50x faster), "numpy", or "auto"
+    (native when built, else numpy).  Each backend is deterministic per seed
+    but their RNG streams differ — pin a backend for bit-reproducibility.
+    """
+    if backend in ("auto", "native"):
+        try:
+            from cglgan_tpu.data import native
+            imgs, labels = native.synth_glyphs(n, img, num_class, seed)
+            return imgs, labels
+        except Exception:
+            if backend == "native":
+                raise
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, num_class, size=n)
     bank = _glyph_bank(img)[:num_class]
