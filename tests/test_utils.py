@@ -1,0 +1,112 @@
+"""Checkpointing, logging, imaging, IDX loading."""
+import gzip
+import json
+import os
+import struct
+
+import jax
+import numpy as np
+import pytest
+
+from cglgan_tpu.algos.registry import build_runner
+from cglgan_tpu.core.config import FedGANConfig
+from cglgan_tpu.data.mnist import load_idx_dataset
+from cglgan_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from cglgan_tpu.utils.imaging import save_image_grid, save_scatter_2d
+from cglgan_tpu.utils.logging import RunDir
+
+
+def tiny_runner():
+    cfg = FedGANConfig(algo="capgan", dataset="2dmg", num_workers=4,
+                       num_class=5, num_sample=200, iid=1, batch_size=32,
+                       num_communication=4, num_plt=2)
+    return build_runner(cfg)
+
+
+class TestCheckpoint:
+    def test_roundtrip_bit_exact(self, tmp_path):
+        r = tiny_runner()
+        s0 = r.init_state()
+        s1, _ = jax.jit(r.round_fn)(s0)
+        path = str(tmp_path / "ckpt")
+        save_checkpoint(path, s1)
+        restored = restore_checkpoint(path, r.init_state())
+        for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_resume_continues_identically(self, tmp_path):
+        """round(restore(save(s))) == round(s): resume is transparent."""
+        r = tiny_runner()
+        s1, _ = jax.jit(r.round_fn)(r.init_state())
+        path = str(tmp_path / "ckpt2")
+        save_checkpoint(path, s1)
+        restored = restore_checkpoint(path, r.init_state())
+        s2a, _ = jax.jit(r.round_fn)(s1)
+        s2b, _ = jax.jit(r.round_fn)(restored)
+        for a, b in zip(jax.tree.leaves(s2a), jax.tree.leaves(s2b)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestRunDir:
+    def test_logs_jsonl_and_csv(self, tmp_path):
+        cfg = FedGANConfig(algo="flgan", dataset="2dmg")
+        rd = RunDir(str(tmp_path), "runA", cfg)
+        rd.log({"round": 1, "kl": 0.5})
+        rd.log({"round": 2, "kl": 0.4})
+        rd.close()
+        lines = open(rd.file("metrics.jsonl")).read().strip().split("\n")
+        assert len(lines) == 2
+        assert json.loads(lines[1])["kl"] == 0.4
+        csv = open(rd.file("metrics.csv")).read().strip().split("\n")
+        assert csv[0] == "round,kl"
+        assert len(csv) == 3
+        saved_cfg = json.load(open(rd.file("config.json")))
+        assert saved_cfg["algo"] == "flgan"
+
+
+class TestImaging:
+    def test_grid_png(self, tmp_path):
+        imgs = np.random.default_rng(0).uniform(-1, 1, (30, 1, 28, 28))
+        p = str(tmp_path / "g.png")
+        save_image_grid(imgs, p)
+        from PIL import Image
+        im = Image.open(p)
+        assert im.size[0] > 280 and im.size[1] > 84
+
+    def test_scatter_png(self, tmp_path):
+        pts = np.random.default_rng(0).normal(size=(500, 2)) * 0.3
+        p = str(tmp_path / "s.png")
+        save_scatter_2d(p, pts, pts + 0.1)
+        assert os.path.getsize(p) > 1000
+
+
+class TestIdxLoader:
+    def _write_idx(self, tmp_path, gz=False):
+        imgs = np.random.default_rng(0).integers(0, 255, (20, 28, 28)
+                                                 ).astype(np.uint8)
+        labels = np.random.default_rng(1).integers(0, 10, (20,)
+                                                   ).astype(np.uint8)
+        opener = gzip.open if gz else open
+        ext = ".gz" if gz else ""
+        with opener(os.path.join(tmp_path, f"train-images-idx3-ubyte{ext}"),
+                    "wb") as f:
+            f.write(struct.pack(">HBB", 0, 8, 3))
+            f.write(struct.pack(">III", 20, 28, 28))
+            f.write(imgs.tobytes())
+        with opener(os.path.join(tmp_path, f"train-labels-idx1-ubyte{ext}"),
+                    "wb") as f:
+            f.write(struct.pack(">HBB", 0, 8, 1))
+            f.write(struct.pack(">I", 20))
+            f.write(labels.tobytes())
+        return imgs, labels
+
+    @pytest.mark.parametrize("gz", [False, True])
+    def test_load(self, tmp_path, gz):
+        imgs, labels = self._write_idx(str(tmp_path), gz)
+        got_i, got_l = load_idx_dataset(str(tmp_path))
+        np.testing.assert_array_equal(got_i, imgs)
+        np.testing.assert_array_equal(got_l, labels)
+
+    def test_missing(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            load_idx_dataset(str(tmp_path))
