@@ -71,8 +71,6 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
     shards = meshes.place(
         jnp.asarray(part.data).reshape((S, k) + part.data.shape[1:]),
         mesh, spec_sk)
-    lengths = meshes.place(jnp.asarray(part.lengths).reshape(S, k),
-                           mesh, spec_sk)
     beta = jnp.asarray(topology.server_beta(part.lengths, S))      # (S, k)
     data_len = topology.server_data_len(part.lengths, S)           # (S,)
     a_weights = jnp.asarray((data_len / data_len.sum()).astype(np.float32))

@@ -56,8 +56,6 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
     shards = meshes.place(
         jnp.asarray(part.data).reshape((S, k) + part.data.shape[1:]),
         mesh, spec_sk)
-    lengths = meshes.place(jnp.asarray(part.lengths).reshape(S, k),
-                           mesh, spec_sk)
 
     d_step = common.d_epoch_steps(
         common.d_step_fn(d_model, adv, opt_d, B, cfg.is_image,

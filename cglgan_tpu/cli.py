@@ -60,6 +60,9 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
                    help="path to a checkpoint to resume from")
     p.add_argument("--platform", default=None,
                    help="force a jax platform, e.g. cpu")
+    p.add_argument("--devices", type=int, default=0,
+                   help="shard clients over the first N devices "
+                        "(0 = single-device, no mesh)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of one eval chunk")
 
@@ -113,7 +116,12 @@ def cmd_run(args) -> int:
         else:
             save_scatter_2d(run_dir.file(f"device_{i}.png"), sel)
 
-    runner = build_runner(cfg, part)
+    mesh = None
+    if args.devices:
+        from cglgan_tpu.core.meshes import client_mesh
+        mesh = client_mesh(args.devices)
+        print(f"[tpufed] clients mesh over {args.devices} devices")
+    runner = build_runner(cfg, part, mesh=mesh)
     state = runner.init_state()
     if args.resume:
         state = restore_checkpoint(args.resume, state)

@@ -1,0 +1,54 @@
+"""End-to-end CLI runs in a subprocess (the real user surface)."""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, timeout=420):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""   # disable the TPU plugin registration
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    return subprocess.run(
+        [sys.executable, "-m", "cglgan_tpu.cli"] + args,
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout)
+
+
+class TestCLI:
+    def test_run_2dmg_writes_artifacts(self, tmp_path):
+        out = run_cli(["run", "flgan", "--dataset", "2dmg",
+                       "--num-workers", "4", "--num-class", "5",
+                       "--num-sample", "200", "--batch-size", "32",
+                       "--rounds", "20", "--num-plt", "10",
+                       "--ckpt-every", "0", "--platform", "cpu",
+                       "--out", str(tmp_path), "--name", "t1"])
+        assert out.returncode == 0, out.stderr[-2000:]
+        d = tmp_path / "t1"
+        for f in ("config.json", "metrics.jsonl", "metrics.csv",
+                  "10.png", "20.png", "device_0.png", "ckpt_final"):
+            assert (d / f).exists(), f"{f} missing; stdout: {out.stdout[-500:]}"
+        ticks = [json.loads(l) for l in
+                 (d / "metrics.jsonl").read_text().strip().split("\n")]
+        assert ticks[-1]["round"] == 20
+        assert "kl_score" in ticks[-1]
+
+    def test_run_sharded_devices(self, tmp_path):
+        out = run_cli(["run", "capgan", "--dataset", "2dmg",
+                       "--num-workers", "8", "--num-class", "4",
+                       "--num-sample", "100", "--batch-size", "16",
+                       "--rounds", "4", "--num-plt", "2",
+                       "--ckpt-every", "0", "--platform", "cpu",
+                       "--devices", "8",
+                       "--out", str(tmp_path), "--name", "t2"])
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "clients mesh over 8 devices" in out.stdout
+
+    def test_bad_args(self):
+        out = run_cli(["run", "nope"], timeout=60)
+        assert out.returncode != 0
+        assert "invalid choice" in out.stderr
