@@ -192,11 +192,15 @@ def cmd_run(args) -> int:
         tick = {k: float(v) for k, v in metrics.items()}
         tick["round"] = done
         if not cfg.is_image:
+            # MD-GAN evaluates on 32-bin histograms, everything else 16
+            # (MDGAN/2DMG/mdgan.py:69 vs ACGAN/2DMG/acgan.py:64)
+            bins = 32 if cfg.algo == "mdgan" else 16
             samples = runner.sample(state, cfg.num_sample)
-            kl, ds = kl_and_distribution_score(samples, eval_pool)
+            kl, ds = kl_and_distribution_score(samples, eval_pool, bins)
             tick["kl_score"] = float(kl)
             tick["distribution_score"] = float(ds)
-            tick["mode_coverage"] = float(mode_coverage(samples, eval_pool))
+            tick["mode_coverage"] = float(mode_coverage(samples, eval_pool,
+                                                        bins))
         else:
             gen = np.asarray(runner.sample(state, 100)).reshape(
                 -1, 1, img_side, img_side)[:100]
