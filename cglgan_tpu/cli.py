@@ -222,6 +222,57 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Score a saved checkpoint: rebuild the runner from the run dir's
+    config.json, restore, sample, and report the workload's metrics."""
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import json
+
+    import numpy as np
+
+    from cglgan_tpu.algos.registry import build_runner
+    from cglgan_tpu.core.config import FedGANConfig
+    from cglgan_tpu.utils.checkpoint import restore_checkpoint
+    from cglgan_tpu.utils.imaging import save_image_grid, save_scatter_2d
+
+    run_dir = os.path.dirname(os.path.abspath(args.checkpoint))
+    with open(os.path.join(run_dir, "config.json")) as f:
+        cfg = FedGANConfig(**json.load(f))
+    runner = build_runner(cfg)
+    state = restore_checkpoint(args.checkpoint, runner.init_state())
+    print(f"[tpufed] checkpoint at round {int(state.t)}")
+    samples = np.asarray(runner.sample(state, args.n))
+    out = args.out or os.path.join(run_dir, f"eval_{int(state.t)}")
+    report = {"round": int(state.t), "n": args.n}
+    if cfg.is_image:
+        side = cfg.img_size + 4 if cfg.conv else cfg.img_size
+        save_image_grid(samples.reshape(-1, 1, side, side)[:100],
+                        out + ".png")
+        from cglgan_tpu.evalx.fid import conv_feature_extractor, fid
+        from cglgan_tpu.algos.registry import load_partition
+        part = load_partition(cfg)
+        real = (part.eval_pool[:args.n].astype(np.float32) / 255. - .5) / .5
+        report["fid"] = fid(conv_feature_extractor(side),
+                            samples.reshape(-1, 1, side, side)[:args.n],
+                            real.reshape(-1, 1, side, side))
+    else:
+        from cglgan_tpu.algos.registry import load_partition
+        from cglgan_tpu.evalx.hist2d import (kl_and_distribution_score,
+                                             mode_coverage)
+        part = load_partition(cfg)
+        save_scatter_2d(out + ".png", part.eval_pool[:2000], samples)
+        bins = 32 if cfg.algo == "mdgan" else 16
+        kl, ds = kl_and_distribution_score(samples, part.eval_pool, bins)
+        report["kl_score"] = float(kl)
+        report["distribution_score"] = float(ds)
+        report["mode_coverage"] = float(mode_coverage(samples,
+                                                      part.eval_pool, bins))
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="tpufed",
                                      description=__doc__.splitlines()[0])
@@ -231,6 +282,13 @@ def main(argv=None) -> int:
     prun.set_defaults(fn=cmd_run)
     pbench = sub.add_parser("bench", help="run the headline benchmark")
     pbench.set_defaults(fn=cmd_bench)
+    peval = sub.add_parser("eval", help="score a saved checkpoint")
+    peval.add_argument("checkpoint", help="path to an Orbax checkpoint dir "
+                                          "inside a run dir")
+    peval.add_argument("--n", type=int, default=1000)
+    peval.add_argument("--out", default=None)
+    peval.add_argument("--platform", default=None)
+    peval.set_defaults(fn=cmd_eval)
     args = parser.parse_args(argv)
     return args.fn(args)
 
