@@ -100,6 +100,18 @@ def prepare_real(batch, is_image: bool):
     return normalize_images(batch) if is_image else batch
 
 
+def participation_mask(key, n: int, dropout_rate: float):
+    """Straggler/dropout simulation: per-client survival mask for one round.
+    Guarantees at least one survivor (the round never deadlocks, unlike the
+    reference's blocking queues would).  Returns float (n,) of {0,1}."""
+    if dropout_rate <= 0.0:
+        return jnp.ones((n,), jnp.float32)
+    alive = jax.random.bernoulli(key, 1.0 - dropout_rate, (n,))
+    none_alive = ~alive.any()
+    alive = alive.at[0].set(alive[0] | none_alive)
+    return alive.astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # state containers
 # ---------------------------------------------------------------------------

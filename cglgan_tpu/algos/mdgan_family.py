@@ -75,8 +75,9 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
         return FedState(gn, dn, None, jnp.int32(0))
 
     def server_round(g_net: NetState, d_block: NetState, shard_blk, starts,
-                     key):
-        """One server's round over its k clients."""
+                     mask, key):
+        """One server's round over its k clients.  ``mask`` (k,): straggler
+        simulation — dropped clients keep their D and contribute no loss."""
         k_zd, k_zg, k_d = jax.random.split(key, 3)
         # Xd: detached fake batch; BN buffers still advance (torch modules in
         # train mode update running stats even under no_grad)
@@ -89,9 +90,13 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
         d_keys = jax.random.split(k_d, k)
         new_d, d_loss = jax.vmap(d_step, in_axes=(0, 0, None, None, 0))(
             d_block, shard_blk, starts, xd, d_keys)
+        new_d = NetState(*(collectives.select_update_tree(o, n, mask)
+                           for o, n in zip(tuple(d_block), tuple(new_d))))
 
-        # G update: mean of the k client losses through the *updated* Ds
+        # G update: mean of the surviving clients' losses through the
+        # *updated* Ds
         z_g = jax.random.normal(k_zg, (B, zdim))
+        denom = jnp.maximum(mask.sum(), 1.0)
 
         def g_obj(gp, gbn):
             fake, gbn2 = g_model.apply(gp, gbn, z_g, train=True)
@@ -99,13 +104,14 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
                 lambda dp, dbn: d_model.apply(dp, dbn, fake, train=True))(
                 new_d.params, new_d.bn)
             losses = jax.vmap(lambda o: adv(o, 1.0))(per_client)
-            return losses.mean(), (gbn2, losses)
+            return (losses * mask).sum() / denom, (gbn2, losses)
 
         (g_loss, (gbn2, losses)), grads = jax.value_and_grad(
             g_obj, has_aux=True)(g_net.params, gbn1)
         up, gopt2 = opt_g.update(grads, g_net.opt, g_net.params)
         new_g = NetState(optax.apply_updates(g_net.params, up), gbn2, gopt2)
-        return new_g, new_d, {"d_loss": d_loss.mean(), "g_loss": g_loss}
+        return new_g, new_d, {"d_loss": (d_loss * mask).sum() / denom,
+                              "g_loss": g_loss}
 
     max_len = part.data.shape[1]
 
@@ -116,9 +122,12 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
             lambda kk: common.batch_start(kk, max_len, B))(
             jax.random.split(prng.for_role(key, prng.ROLE_BATCH), cfg.epoch))
         keys = jax.random.split(key, S)
+        mask = common.participation_mask(
+            jax.random.fold_in(key, 7), S * k, cfg.dropout_rate
+        ).reshape(S, k)
         new_g, new_d, metrics = jax.vmap(
-            server_round, in_axes=(0, 0, 0, None, 0))(
-            state.g, state.d, shards, starts, keys)
+            server_round, in_axes=(0, 0, 0, None, 0, 0))(
+            state.g, state.d, shards, starts, mask, keys)
         metrics = jax.tree.map(jnp.mean, metrics)
 
         if cfg.E > 0:

@@ -48,6 +48,9 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lr-d", type=float, default=2e-4)
     p.add_argument("--seed", type=int, default=20211212)
     p.add_argument("--weighting", default=None, choices=WEIGHTINGS)
+    p.add_argument("--dropout-rate", type=float, default=0.0,
+                   help="P(client misses a round) — straggler simulation "
+                        "(flgan/mdgan/acgan/fegan)")
     p.add_argument("--conv", action="store_true",
                    help="use the conv LSGAN G/D pair (model/lsgan.py parity)")
     p.add_argument("--data-dir", default=None,
@@ -81,7 +84,8 @@ def cfg_from_args(args) -> FedGANConfig:
         E=args.E, cloud_epoch=args.cloud_epoch, segema=args.segema,
         num_communication=rounds, num_plt=num_plt, lr_g=args.lr_g,
         lr_d=args.lr_d, seed=args.seed, weighting=args.weighting,
-        conv=args.conv, data_dir=args.data_dir)
+        conv=args.conv, data_dir=args.data_dir,
+        dropout_rate=args.dropout_rate)
 
 
 def cmd_run(args) -> int:

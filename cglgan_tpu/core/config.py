@@ -89,6 +89,13 @@ class FedGANConfig:
     d_head: Optional[str] = None
     conv: bool = False              # use the conv LSGAN G/D pair (model/lsgan.py)
 
+    # --- fault simulation (TPU-build extension; SURVEY.md §5 suggests
+    # straggler/dropout simulation via sampling masks — the reference has
+    # no fault handling beyond isAlive() liveness polls) ---
+    dropout_rate: float = 0.0   # P(client misses a round); flgan/mdgan/acgan/
+                                # fegan only — the CGL-family protocol blocks
+                                # on every client by construction
+
     # --- runtime ---
     seed: int = 20211212
     dtype: str = "float32"          # param/compute dtype for the tiny nets
@@ -110,6 +117,12 @@ class FedGANConfig:
             raise ValueError("num_workers must be divisible by num_servers")
         if self.weighting is not None and self.weighting not in WEIGHTINGS:
             raise ValueError(f"unknown weighting {self.weighting!r}")
+        if self.dropout_rate and self.algo in ("cglgan", "capgan", "mixgan"):
+            raise ValueError(
+                "dropout_rate is not supported for the CGL family: the "
+                "reference protocol blocks on every client's loss each round")
+        if not 0.0 <= self.dropout_rate < 1.0:
+            raise ValueError("dropout_rate must be in [0, 1)")
 
     # ------------------------------------------------------------------
     @property
