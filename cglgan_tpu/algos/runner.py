@@ -10,12 +10,10 @@ dispatch per tick instead of thousands of host round-trips per second.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Any, Callable, Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from cglgan_tpu.core.config import FedGANConfig
 from cglgan_tpu.data.partition import Partition

@@ -19,7 +19,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-from typing import Optional
 
 from cglgan_tpu.core.config import ALGOS, DATASETS, FedGANConfig, WEIGHTINGS
 
@@ -146,9 +145,8 @@ def cmd_run(args) -> int:
         if args.ckpt_every and t % args.ckpt_every == 0:
             save_checkpoint(run_dir.file(f"ckpt_{t}"), state_box[0])
 
-    # on_tick needs the evolving state; train() owns it, so mirror via a box
+    # on_tick needs the evolving state; the loop below updates this box
     state_box = [state]
-    orig_round = runner.round_fn
 
     remaining = cfg.num_communication - int(state.t)
     if remaining <= 0:

@@ -13,8 +13,6 @@
 from __future__ import annotations
 
 from collections import deque
-from typing import List
-
 import numpy as np
 
 

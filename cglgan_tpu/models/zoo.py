@@ -22,8 +22,7 @@ Multi-path generators stack the N per-client heads on a leading axis and
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, NamedTuple, Optional, Sequence, Tuple
+from typing import Callable, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
