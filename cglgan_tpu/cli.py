@@ -101,6 +101,10 @@ def cmd_run(args) -> int:
     from cglgan_tpu.utils.logging import RunDir
 
     cfg = cfg_from_args(args)
+    if cfg.dataset in ("mnist", "fashion-mnist") and not cfg.data_dir:
+        print(f"[tpufed] WARNING: no --data-dir given for {cfg.dataset}; "
+              "falling back to the deterministic synthetic glyph dataset "
+              "(same shapes/cardinality, not handwriting)")
     part = load_partition(cfg)
     run_dir = RunDir(args.out, args.name, cfg)
     print(f"[tpufed] run dir: {run_dir.path}")

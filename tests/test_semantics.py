@@ -1,0 +1,111 @@
+"""Semantic subtleties of the federation protocols (SURVEY.md §7.3)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cglgan_tpu.algos.registry import build_runner
+from cglgan_tpu.core.config import FedGANConfig
+
+
+def cfg_for(algo, **kw):
+    base = dict(algo=algo, dataset="2dmg", num_workers=4, num_class=5,
+                num_sample=200, iid=1, batch_size=32, num_communication=8,
+                num_plt=4)
+    base.update(kw)
+    return FedGANConfig(**base)
+
+
+class TestFeGANPartialParticipation:
+    def test_unsampled_workers_do_not_advance(self):
+        """Only sampled group members' local state (opt, BN) moves each round
+        (the reference's unsampled workers stay blocked on their queue)."""
+        cfg = cfg_for("fegan", frac_workers=0.25)   # groups of 1
+        r = build_runner(cfg)
+        s0 = r.init_state()
+        s1, _ = jax.jit(r.round_fn)(s0)
+        group0 = int(r.extras["schedule"][0][0])
+        # optimizer state: adam mu for G, leading axis W
+        mu0 = np.asarray(jax.tree.leaves(s0.g.opt)[1])
+        mu1 = np.asarray(jax.tree.leaves(s1.g.opt)[1])
+        for w in range(cfg.num_workers):
+            moved = not np.allclose(mu0[w], mu1[w])
+            assert moved == (w == group0), (w, group0, moved)
+
+    def test_group_weights_follow_exp_scores(self):
+        cfg = cfg_for("fegan", frac_workers=1.0)
+        r = build_runner(cfg)
+        sk = r.extras["sk"]
+        assert sk.shape == (4,)
+        assert (sk >= 0).all()     # KL scores are non-negative
+
+
+class TestCapCloudCadence:
+    def test_period_scales_with_data(self):
+        """capgan syncs every data_len*cloud_epoch/batch_size rounds
+        (capgan.py:169): with period > num rounds, servers never mix."""
+        # 2 servers with different data -> different periods; segema=0 means a
+        # sync fully replaces the local G with the weighted average
+        cfg = cfg_for("capgan", num_workers=4, num_servers=2, cloud_epoch=1)
+        r = build_runner(cfg)
+        s = r.init_state()
+        # period_s = data_len_s/32 ~ several rounds; at t=0 every server
+        # syncs (t % p == 0) -> both servers' G params equal afterwards
+        s1, _ = jax.jit(r.round_fn)(s)
+        # The cloud ran BEFORE training at t=0, so post-round params differ
+        # again (each trained on its own clients); instead verify via a
+        # second build with cloud off that t=0 sync actually mixed.
+        cfg_off = cfg_for("capgan", num_workers=4, num_servers=2,
+                          cloud_epoch=0)
+        r_off = build_runner(cfg_off)
+        s1_off, _ = jax.jit(r_off.round_fn)(r_off.init_state())
+        a = np.asarray(jax.tree.leaves(s1.g.params)[0])
+        b = np.asarray(jax.tree.leaves(s1_off.g.params)[0])
+        assert not np.allclose(a, b), "t=0 cloud sync must change training"
+
+    def test_cloud_epoch_zero_disables_sync(self):
+        """cloud_epoch=0: the cloud returns immediately (capgan.py:106-107)."""
+        cfg = cfg_for("capgan", num_workers=4, num_servers=2, cloud_epoch=0)
+        r = build_runner(cfg)
+        s1, _ = jax.jit(r.round_fn)(r.init_state())
+        g = jax.tree.leaves(s1.g.params)[0]
+        assert not np.allclose(np.asarray(g)[0], np.asarray(g)[1]), \
+            "servers must stay independent with the cloud off"
+
+
+class TestACGANGossip:
+    def test_share_averages_within_server_block(self):
+        """E-round D-share: clients of one server converge to one D; blocks
+        of different servers stay distinct (ACGAN/MNIST/acgan.py:240-263)."""
+        cfg = cfg_for("acgan", num_workers=4, num_servers=2, E=1)
+        r = build_runner(cfg)
+        s1, _ = jax.jit(r.round_fn)(r.init_state())
+        d = np.asarray(jax.tree.leaves(s1.d.params)[0])  # (S=2, k=2, ...)
+        np.testing.assert_allclose(d[0, 0], d[0, 1], rtol=1e-6)
+        np.testing.assert_allclose(d[1, 0], d[1, 1], rtol=1e-6)
+        assert not np.allclose(d[0, 0], d[1, 0])
+
+
+class TestMultipathEvalSampling:
+    def test_sample_strides_across_heads(self):
+        """Eval pooling: multi-path output is strided back to the per-server
+        quota, drawing from all heads (capgan.py:79-83 painter)."""
+        cfg = cfg_for("cglgan", num_workers=4, num_servers=1)
+        r = build_runner(cfg)
+        s = r.init_state()
+        out = r.sample(s, 100)
+        assert out.shape == (100, 2)
+        # heads differ at init, so samples can't all come from one head:
+        # compare against a single-head generation
+        from cglgan_tpu.models.zoo import models_for_config
+        g, _ = models_for_config(cfg)
+        from cglgan_tpu.core import prng
+        z = jax.random.normal(
+            prng.for_member(prng.for_role(prng.root_key(cfg.seed),
+                                          prng.ROLE_EVAL), 0), (100, 2 * 0 + 100))
+        full, _ = g.apply(s.g.params and jax.tree.map(lambda x: x[0],
+                                                      s.g.params),
+                          jax.tree.map(lambda x: x[0], s.g.bn), z,
+                          train=False)
+        head0_only = np.asarray(full[0])
+        assert not np.allclose(np.asarray(out), head0_only)
