@@ -203,6 +203,9 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
         t = state.t
         g = state.g
         if cloud_enabled:
+            # always-computed masked average; a lax.cond skip was measured
+            # SLOWER (3385 -> 3026 r/s): control-flow overhead exceeds the
+            # small aggregation, and the mask already no-ops non-sync rounds
             g = cloud_sync(g, t)
         key = prng.for_round(root, t)
         starts = jax.vmap(
