@@ -33,6 +33,7 @@ class RunDir:
         self._jsonl = open(os.path.join(self.path, "metrics.jsonl"), "a")
         self._csv_path = os.path.join(self.path, "metrics.csv")
         self._csv_fields = None
+        self._records = []
         if cfg is not None:
             with open(os.path.join(self.path, "config.json"), "w") as f:
                 json.dump(dataclasses.asdict(cfg), f, indent=2)
@@ -43,6 +44,7 @@ class RunDir:
     def log(self, record: Dict) -> None:
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
+        self._records.append(dict(record))
         fields = list(record.keys())
         new_file = self._csv_fields is None
         if new_file:
@@ -53,6 +55,10 @@ class RunDir:
             if new_file:
                 w.writeheader()
             w.writerow(record)
+        # Excel export per tick like the reference (df.to_excel every eval,
+        # FLGAN/2DMG/flgan.py:102-103) — stdlib writer, no openpyxl needed
+        from cglgan_tpu.utils.xlsx import write_xlsx
+        write_xlsx(os.path.join(self.path, "metrics.xlsx"), self._records)
 
     def close(self) -> None:
         self._jsonl.close()
