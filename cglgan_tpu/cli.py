@@ -45,6 +45,11 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
                    help="eval cadence (default: 100 for 2dmg, 500 for images)")
     p.add_argument("--lr-g", type=float, default=2e-4)
     p.add_argument("--lr-d", type=float, default=2e-4)
+    p.add_argument("--b1", type=float, default=0.5, help="Adam beta1")
+    p.add_argument("--b2", type=float, default=0.999, help="Adam beta2")
+    p.add_argument("--lr-lambda", type=float, default=0.1,
+                   help="SGD lr for the Lambda game variable")
+    p.add_argument("--img-size", type=int, default=28)
     p.add_argument("--seed", type=int, default=20211212)
     p.add_argument("--weighting", default=None, choices=WEIGHTINGS)
     p.add_argument("--dropout-rate", type=float, default=0.0,
@@ -82,7 +87,8 @@ def cfg_from_args(args) -> FedGANConfig:
         frac_workers=args.frac_workers, epoch=args.epoch,
         E=args.E, cloud_epoch=args.cloud_epoch, segema=args.segema,
         num_communication=rounds, num_plt=num_plt, lr_g=args.lr_g,
-        lr_d=args.lr_d, seed=args.seed, weighting=args.weighting,
+        lr_d=args.lr_d, b1=args.b1, b2=args.b2, lr_lambda=args.lr_lambda,
+        img_size=args.img_size, seed=args.seed, weighting=args.weighting,
         conv=args.conv, data_dir=args.data_dir,
         dropout_rate=args.dropout_rate)
 
