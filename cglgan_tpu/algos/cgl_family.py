@@ -65,6 +65,7 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
     opt_g = optax.adam(cfg.lr_g, b1=cfg.b1, b2=cfg.b2)
     opt_d = optax.adam(cfg.lr_d, b1=cfg.b1, b2=cfg.b2)
     B, zdim = cfg.batch_size, cfg.latent_dim
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     root = prng.root_key(cfg.seed)
 
     spec_sk = P(None, "clients")
@@ -87,12 +88,12 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
 
     d_step = common.d_epoch_steps(
         common.d_step_fn(d_model, adv, opt_d, B, cfg.is_image,
-                         d_loss_half, fuse_concat=not cfg.conv),
+                         d_loss_half, fuse_concat=not cfg.conv, dtype=dtype),
         cfg.epoch)
 
     def init_state():
         def init_g(kk):
-            p, b = g_model.init(kk)
+            p, b = g_model.init(kk, dtype)
             if algo == "mixgan":   # net_g.apply(weights_init), mixed-gan.py:181
                 p = fnn.dcgan_reinit(jax.random.fold_in(kk, 99), p)
             return p, b, opt_g.init(p)
@@ -101,7 +102,7 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
             jax.random.split(prng.for_role(root, prng.ROLE_INIT_G), S))
 
         def init_d(kk):
-            p, b = d_model.init(kk)
+            p, b = d_model.init(kk, dtype)
             if algo == "mixgan":   # net_d.apply(weights_init), mixed-gan.py:348
                 p = fnn.dcgan_reinit(jax.random.fold_in(kk, 98), p)
             return p, b, opt_d.init(p)
@@ -134,7 +135,7 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
                      shard_blk, starts, key):
         k_zd, k_zg, k_d = jax.random.split(key, 3)
         # Xd (detached; BN buffers advance as torch train-mode no_grad does)
-        z_d = jax.random.normal(k_zd, (B, zdim))
+        z_d = jax.random.normal(k_zd, (B, zdim), dtype)
         xd, gbn1 = g_model.apply(g_net.params, g_net.bn, z_d, train=True)
         xd = jax.lax.stop_gradient(xd)
 
@@ -145,7 +146,7 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
             d_step, in_axes=(0, 0, None, fake_ax, 0))(
             d_block, shard_blk, starts, xd, d_keys)
 
-        z_g = jax.random.normal(k_zg, (B, zdim))
+        z_g = jax.random.normal(k_zg, (B, zdim), dtype)
         # ONE generator forward; the loss vector is both the workers'
         # returned values (game weights) and the primal for the two
         # constant-weighted backwards — d(sum l)/d(heads) with trunk frozen

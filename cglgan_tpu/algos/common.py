@@ -27,20 +27,21 @@ import optax
 
 def bce(p, target: float):
     """Mean BCE against a constant target on probabilities in (0,1).
-    Clamped like torch (which clamps log at -100)."""
-    p = jnp.clip(p, 1e-12, 1.0 - 1e-7)
+    Clamped like torch (which clamps log at -100).  Loss math always in
+    float32 regardless of model dtype."""
+    p = jnp.clip(p.astype(jnp.float32), 1e-12, 1.0 - 1e-7)
     t = target
     return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log1p(-p))
 
 
 def ce2(logits, target_idx: int):
     """Mean 2-class cross-entropy against a constant class index."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     return -jnp.mean(logp[:, target_idx])
 
 
 def bce_logits(logits, target: float):
-    z = logits.squeeze(-1)
+    z = logits.astype(jnp.float32).squeeze(-1)
     # stable: max(z,0) - z*t + log(1+exp(-|z|))
     return jnp.mean(jnp.maximum(z, 0) - z * target + jnp.log1p(jnp.exp(-jnp.abs(z))))
 
@@ -94,10 +95,13 @@ def slice_batch(shard, start, batch_size: int):
     return jax.lax.dynamic_slice_in_dim(shard, start, batch_size, axis=0)
 
 
-def prepare_real(batch, is_image: bool):
+def prepare_real(batch, is_image: bool, dtype=jnp.float32):
     """Image shards are stored flat (B, H*W) uint8 for slice-friendly layout;
-    MLP discriminators consume them flat, conv ones reshape at apply time."""
-    return normalize_images(batch) if is_image else batch
+    MLP discriminators consume them flat, conv ones reshape at apply time.
+    ``dtype``: compute dtype (bfloat16 keeps matmuls on the fast MXU path
+    when the model is bf16 — mixed f32xbf16 would silently promote)."""
+    out = normalize_images(batch) if is_image else batch
+    return out.astype(dtype)
 
 
 def participation_mask(key, n: int, dropout_rate: float):
@@ -145,10 +149,10 @@ def init_net(model, key, opt) -> NetState:
     return NetState(params, bn, opt.init(params))
 
 
-def init_net_stacked(model, key, opt, n: int) -> NetState:
+def init_net_stacked(model, key, opt, n: int, dtype=jnp.float32) -> NetState:
     """n independent inits stacked on axis 0 — one per federated member."""
     def one(k):
-        p, b = model.init(k)
+        p, b = model.init(k, dtype)
         return p, b, opt.init(p)
     p, b, o = jax.vmap(one)(jax.random.split(key, n))
     return NetState(p, b, o)
@@ -165,7 +169,8 @@ def apply_updates(net: NetState, grads, opt, new_bn=None) -> NetState:
 # ---------------------------------------------------------------------------
 
 def d_step_fn(d_model, adv_loss, opt, batch_size: int, is_image: bool,
-              d_loss_half: bool, fuse_concat: bool = True):
+              d_loss_half: bool, fuse_concat: bool = True,
+              dtype=jnp.float32):
     """Build ``step(d_net, shard, start, fake, key) -> (d_net, d_loss)``:
     one local D update on (real window, given fakes).  D_loss = real + fake,
     halved for CAP/Mix (capgan.py:339, mixed-gan.py:382).
@@ -199,7 +204,8 @@ def d_step_fn(d_model, adv_loss, opt, batch_size: int, is_image: bool,
         return loss, bn2
 
     def step(d_net: NetState, shard, start, fake, key):
-        real = prepare_real(slice_batch(shard, start, batch_size), is_image)
+        real = prepare_real(slice_batch(shard, start, batch_size), is_image,
+                            dtype)
         (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             d_net.params, d_net.bn, real, jax.lax.stop_gradient(fake), key)
         updates, new_opt = opt.update(grads, d_net.opt, d_net.params)

@@ -49,6 +49,7 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
     opt_g = optax.adam(cfg.lr_g, b1=cfg.b1, b2=cfg.b2)
     opt_d = optax.adam(cfg.lr_d, b1=cfg.b1, b2=cfg.b2)
     B, zdim = cfg.batch_size, cfg.latent_dim
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     root = prng.root_key(cfg.seed)
 
     # shards grouped by server: (S, k, max_len, ...)
@@ -59,15 +60,17 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
 
     d_step = common.d_epoch_steps(
         common.d_step_fn(d_model, adv, opt_d, B, cfg.is_image,
-                         d_loss_half=False, fuse_concat=not cfg.conv),
+                         d_loss_half=False, fuse_concat=not cfg.conv, dtype=dtype),
         cfg.epoch)
 
     def init_state():
         gp, gbn, gopt = jax.vmap(
-            lambda kk: (lambda p, b: (p, b, opt_g.init(p)))(*g_model.init(kk))
+            lambda kk: (lambda p, b: (p, b, opt_g.init(p)))(
+                *g_model.init(kk, dtype))
         )(jax.random.split(prng.for_role(root, prng.ROLE_INIT_G), S))
         dn = common.init_net_stacked(
-            d_model, prng.for_role(root, prng.ROLE_INIT_D), opt_d, S * k)
+            d_model, prng.for_role(root, prng.ROLE_INIT_D), opt_d, S * k,
+            dtype)
         dn = NetState(*jax.tree.map(
             lambda x: x.reshape((S, k) + x.shape[1:]), tuple(dn)))
         dn = NetState(*(meshes.place(t, mesh, spec_sk) for t in dn))
@@ -81,7 +84,7 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
         k_zd, k_zg, k_d = jax.random.split(key, 3)
         # Xd: detached fake batch; BN buffers still advance (torch modules in
         # train mode update running stats even under no_grad)
-        z_d = jax.random.normal(k_zd, (B, zdim))
+        z_d = jax.random.normal(k_zd, (B, zdim), dtype)
         xd, gbn1 = g_model.apply(g_net.params, g_net.bn, z_d, train=True)
         xd = jax.lax.stop_gradient(xd)
 
@@ -95,7 +98,7 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
 
         # G update: mean of the surviving clients' losses through the
         # *updated* Ds
-        z_g = jax.random.normal(k_zg, (B, zdim))
+        z_g = jax.random.normal(k_zg, (B, zdim), dtype)
         denom = jnp.maximum(mask.sum(), 1.0)
 
         def g_obj(gp, gbn):

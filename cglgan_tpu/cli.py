@@ -50,6 +50,10 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lr-lambda", type=float, default=0.1,
                    help="SGD lr for the Lambda game variable")
     p.add_argument("--img-size", type=int, default=28)
+    p.add_argument("--dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="param/activation dtype (bfloat16: +32%% rounds/s; "
+                        "see PERF.md)")
     p.add_argument("--seed", type=int, default=20211212)
     p.add_argument("--weighting", default=None, choices=WEIGHTINGS)
     p.add_argument("--dropout-rate", type=float, default=0.0,
@@ -90,7 +94,7 @@ def cfg_from_args(args) -> FedGANConfig:
         lr_d=args.lr_d, b1=args.b1, b2=args.b2, lr_lambda=args.lr_lambda,
         img_size=args.img_size, seed=args.seed, weighting=args.weighting,
         conv=args.conv, data_dir=args.data_dir,
-        dropout_rate=args.dropout_rate)
+        dropout_rate=args.dropout_rate, dtype=args.dtype)
 
 
 def cmd_run(args) -> int:

@@ -98,7 +98,10 @@ class FedGANConfig:
 
     # --- runtime ---
     seed: int = 20211212
-    dtype: str = "float32"          # param/compute dtype for the tiny nets
+    # param/activation dtype; "bfloat16" = +32% rounds/s on v5e (losses and
+    # the Lambda game stay float32).  See PERF.md for the 2DMG precision
+    # caveat; default float32 matches the reference's torch numerics.
+    dtype: str = "float32"
     scan_rounds: int = 0            # rounds fused per lax.scan chunk; 0 = auto
     data_dir: Optional[str] = None  # IDX files for real MNIST, if available
 
