@@ -217,6 +217,24 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
             server_round, in_axes=(0, 0, 0, 0, 0, None, 0))(
             g, state.d, state.lam, beta, shards, starts, keys)
         metrics = jax.tree.map(jnp.mean, metrics)
+
+        if cfg.E > 0:
+            # every-E-rounds neighbour D-share within a server's client block
+            # — the gossip whose machinery the reference defines but never
+            # invokes (para_d queues + Worker.receive_parameter averaging,
+            # capgan.py:295-303, mixed-gan.py:325-333)
+            flat_d = jax.tree.map(
+                lambda x: x.reshape((S * k,) + x.shape[2:]), new_d)
+            shared = NetState(
+                collectives.neighbor_share_tree(flat_d.params, k),
+                collectives.neighbor_share_tree(flat_d.bn, k),
+                flat_d.opt)
+            shared = jax.tree.map(
+                lambda x: x.reshape((S, k) + x.shape[1:]), shared)
+            do_share = (t + 1) % cfg.E == 0
+            new_d = jax.tree.map(
+                lambda a, b: jnp.where(do_share, a, b), shared, new_d)
+
         return FedState(new_g, new_d, lam_new, t + 1), metrics
 
     # ------------------------------------------------------------------

@@ -109,3 +109,22 @@ class TestMultipathEvalSampling:
                           train=False)
         head0_only = np.asarray(full[0])
         assert not np.allclose(np.asarray(out), head0_only)
+
+
+class TestCGLFamilyGossip:
+    def test_mixgan_e_share_averages_within_block(self):
+        """E-round D-share for the CGL family (the para_d gossip the
+        reference defines but never calls, mixed-gan.py:325-333)."""
+        cfg = cfg_for("mixgan", num_servers=2, E=1)
+        r = build_runner(cfg)
+        s1, _ = jax.jit(r.round_fn)(r.init_state())
+        d = np.asarray(jax.tree.leaves(s1.d.params)[0])
+        np.testing.assert_allclose(d[0, 0], d[0, 1], rtol=1e-6)
+        assert not np.allclose(d[0, 0], d[1, 0])
+
+    def test_e_zero_keeps_clients_distinct(self):
+        cfg = cfg_for("mixgan", num_servers=2, E=0)
+        r = build_runner(cfg)
+        s1, _ = jax.jit(r.round_fn)(r.init_state())
+        d = np.asarray(jax.tree.leaves(s1.d.params)[0])
+        assert not np.allclose(d[0, 0], d[0, 1])
