@@ -56,7 +56,9 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
     from cglgan_tpu.core import meshes
     S, k = cfg.num_servers, cfg.clients_per_server
     algo = cfg.algo
-    multipath = algo in ("cglgan", "mixgan")
+    # single-path CGL when iid==0, matching models_for_config (the reference
+    # builds Generator(ims, 1) there, CGLGAN/MNIST/main.py:167)
+    multipath = algo == "mixgan" or (algo == "cglgan" and cfg.iid != 0)
     g_model, d_model = models_for_config(cfg)
     head = "raw" if cfg.conv else cfg.resolved_d_head
     adv = common.make_adv_loss(head)
@@ -118,22 +120,24 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
         return FedState(gn, dn, lam, jnp.int32(0))
 
     # ------------------------------------------------------------------
-    def per_client_losses(gp, gbn, z_g, d_new: NetState):
+    def per_client_losses(gp, gbn, z_g, d_new: NetState, rng):
         """fake = G(z_g) routed per client; l_i = adv(D_i(fake_i), 1)."""
         fake, gbn2 = g_model.apply(gp, gbn, z_g, train=True)
         if multipath:     # head i's batch goes to client i (mixed-gan.py:247-252)
             routed = fake
         else:             # full batch to every client (capgan.py:224-225)
             routed = jnp.broadcast_to(fake[None], (k,) + fake.shape)
+        rngs = jax.random.split(rng, k)   # per-client dropout streams (conv D)
         outs, _ = jax.vmap(
-            lambda dp, dbn, x: d_model.apply(dp, dbn, x, train=True))(
-            d_new.params, d_new.bn, routed)
+            lambda dp, dbn, x, r: d_model.apply(dp, dbn, x, train=True,
+                                                rng=r))(
+            d_new.params, d_new.bn, routed, rngs)
         losses = jax.vmap(lambda o: adv(o, 1.0))(outs)
         return losses, gbn2
 
     def server_round(g_net: NetState, d_block: NetState, lam, beta_s,
                      shard_blk, starts, key):
-        k_zd, k_zg, k_d = jax.random.split(key, 3)
+        k_zd, k_zg, k_d, k_drop = jax.random.split(key, 4)
         # Xd (detached; BN buffers advance as torch train-mode no_grad does)
         z_d = jax.random.normal(k_zd, (B, zdim), dtype)
         xd, gbn1 = g_model.apply(g_net.params, g_net.bn, z_d, train=True)
@@ -152,7 +156,8 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
         # constant-weighted backwards — d(sum l)/d(heads) with trunk frozen
         # and d(sum w*l)/d(trunk) with heads frozen are two VJP pullbacks
         # with cotangents (1, ..., 1) and w (CGLGAN/MNIST/main.py:272-289).
-        losses_fn = lambda gp: per_client_losses(gp, gbn1, z_g, new_d)
+        losses_fn = lambda gp: per_client_losses(gp, gbn1, z_g, new_d,
+                                                 k_drop)
         losses0, pullback, gbn2 = jax.vjp(losses_fn, g_net.params,
                                           has_aux=True)
         game = game_step(weighting, losses0, beta_s, lam, cfg.lr_lambda)
@@ -208,7 +213,7 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
             # SLOWER (3385 -> 3026 r/s): control-flow overhead exceeds the
             # small aggregation, and the mask already no-ops non-sync rounds
             g = cloud_sync(g, t)
-        key = prng.for_round(root, t)
+        key = prng.for_round(prng.for_role(root, prng.ROLE_LOCAL), t)
         starts = jax.vmap(
             lambda kk: common.batch_start(kk, max_len, B))(
             jax.random.split(prng.for_role(key, prng.ROLE_BATCH), cfg.epoch))

@@ -85,7 +85,7 @@ def batch_start(key, max_len: int, batch_size: int):
     so one offset shared across clients yields independent, uniformly
     distributed batches — and the extraction lowers to a single contiguous
     dynamic-slice instead of W scattered gathers."""
-    return jax.random.randint(key, (), 0, max(max_len - batch_size, 1))
+    return jax.random.randint(key, (), 0, max(max_len - batch_size + 1, 1))
 
 
 def slice_batch(shard, start, batch_size: int):
@@ -196,8 +196,9 @@ def d_step_fn(d_model, adv_loss, opt, batch_size: int, is_image: bool,
                 + adv_loss(out[batch_size:], 0.0) * 0.5
             loss = half if d_loss_half else half * 2.0
             return loss, bn2
-        out_r, bn1 = d_model.apply(params, bn, real, train=True, rng=rng)
-        out_f, bn2 = d_model.apply(params, bn1, fake, train=True, rng=rng)
+        r1, r2 = jax.random.split(rng)   # independent dropout masks,
+        out_r, bn1 = d_model.apply(params, bn, real, train=True, rng=r1)
+        out_f, bn2 = d_model.apply(params, bn1, fake, train=True, rng=r2)
         loss = adv_loss(out_r, 1.0) + adv_loss(out_f, 0.0)
         if d_loss_half:
             loss = loss * 0.5

@@ -81,7 +81,7 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
                      mask, key):
         """One server's round over its k clients.  ``mask`` (k,): straggler
         simulation — dropped clients keep their D and contribute no loss."""
-        k_zd, k_zg, k_d = jax.random.split(key, 3)
+        k_zd, k_zg, k_d, k_drop = jax.random.split(key, 4)
         # Xd: detached fake batch; BN buffers still advance (torch modules in
         # train mode update running stats even under no_grad)
         z_d = jax.random.normal(k_zd, (B, zdim), dtype)
@@ -101,11 +101,14 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
         z_g = jax.random.normal(k_zg, (B, zdim), dtype)
         denom = jnp.maximum(mask.sum(), 1.0)
 
+        drop_keys = jax.random.split(k_drop, k)
+
         def g_obj(gp, gbn):
             fake, gbn2 = g_model.apply(gp, gbn, z_g, train=True)
             per_client, _ = jax.vmap(
-                lambda dp, dbn: d_model.apply(dp, dbn, fake, train=True))(
-                new_d.params, new_d.bn)
+                lambda dp, dbn, r: d_model.apply(dp, dbn, fake, train=True,
+                                                 rng=r))(
+                new_d.params, new_d.bn, drop_keys)
             losses = jax.vmap(lambda o: adv(o, 1.0))(per_client)
             return (losses * mask).sum() / denom, (gbn2, losses)
 
@@ -120,7 +123,7 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
 
     def round_fn(state: FedState):
         t = state.t
-        key = prng.for_round(root, t)
+        key = prng.for_round(prng.for_role(root, prng.ROLE_LOCAL), t)
         starts = jax.vmap(
             lambda kk: common.batch_start(kk, max_len, B))(
             jax.random.split(prng.for_role(key, prng.ROLE_BATCH), cfg.epoch))

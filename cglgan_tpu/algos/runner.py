@@ -26,7 +26,7 @@ class Runner(NamedTuple):
     init_state: Callable[[], Any]                    # () -> FedState
     round_fn: Callable[[Any], Any]                   # state -> (state, metrics)
     sample: Callable[[Any, int], jax.Array]          # (state, n) -> samples
-    extras: Dict[str, Any] = {}
+    extras: Optional[Dict[str, Any]] = None
 
 
 def scan_rounds(round_fn, n: int):
@@ -67,6 +67,7 @@ def train(runner: Runner,
     if state is None:
         state = runner.init_state()
     chunk = scan_rounds(runner.round_fn, eval_every)
+    chunk_n = eval_every
 
     real_pool = None
     if not cfg.is_image:
@@ -76,12 +77,16 @@ def train(runner: Runner,
     t0 = time.perf_counter()
     done = 0
     while done < rounds:
+        n = min(eval_every, rounds - done)   # never overshoot `rounds`
+        if n != chunk_n:
+            chunk = scan_rounds(runner.round_fn, n)
+            chunk_n = n
         state, metrics = chunk(state)
-        done += eval_every
+        done += n
         tick: Dict[str, Any] = {k: float(v) for k, v in metrics.items()}
         tick["round"] = done
-        samples = runner.sample(state, eval_n)
         if real_pool is not None:
+            samples = runner.sample(state, eval_n)
             kl, ds = kl_and_distribution_score(samples, real_pool)
             cov = mode_coverage(samples, real_pool)
             tick["kl_score"] = float(kl)

@@ -202,6 +202,10 @@ def cmd_run(args) -> int:
     t0 = _time.perf_counter()
     done = int(state.t)
     while done < cfg.num_communication:
+        n = min(chunk_n, cfg.num_communication - done)  # exact round count
+        if n != chunk_n:
+            chunk = scan_rounds(runner.round_fn, n)
+            chunk_n = n
         state, metrics = chunk(state)
         state_box[0] = state
         done = int(state.t)

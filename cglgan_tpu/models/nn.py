@@ -57,9 +57,19 @@ def bn_init(dim: int, dtype=jnp.float32) -> Tuple[Params, State]:
 
 
 def dcgan_reinit(key, params: Params) -> Params:
-    """Re-initialise a param tree DCGAN-style: linear/conv weights N(0,0.02),
-    biases 0; BN scale N(1,0.02), BN bias 0 (reference weights_init)."""
+    """Re-initialise a param tree DCGAN-style, matching the reference
+    weights_init exactly (capgan.py:63-72): Linear weight N(0,0.02) + bias 0;
+    Conv weight N(0,0.02) with bias left at its default init (the torch hook
+    only touches m.weight for Conv); BN scale N(1,0.02) + bias 0.  Conv vs
+    linear biases are told apart by the sibling weight's rank (conv w is
+    4-D OIHW)."""
     flat, treedef = jax.tree.flatten_with_path(params)
+    # rank of the sibling "w" for each dict level, to classify its "b"
+    w_rank = {}
+    for path, leaf in flat:
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "w":
+            w_rank[path[:-1]] = leaf.ndim
     keys = jax.random.split(key, len(flat))
     out = []
     for (path, leaf), k in zip(flat, keys):
@@ -67,8 +77,11 @@ def dcgan_reinit(key, params: Params) -> Params:
         if name == "w":
             out.append(0.02 * jax.random.normal(k, leaf.shape, leaf.dtype))
         elif name == "scale":
-            out.append(1.0 + 0.02 * jax.random.normal(k, leaf.shape, leaf.dtype))
-        else:  # b / bias
+            out.append(1.0 + 0.02 * jax.random.normal(k, leaf.shape,
+                                                      leaf.dtype))
+        elif name == "b" and w_rank.get(path[:-1], 2) == 4:
+            out.append(leaf)             # conv bias: untouched
+        else:  # linear bias / BN bias
             out.append(jnp.zeros_like(leaf))
     return jax.tree.unflatten(treedef, out)
 

@@ -26,6 +26,7 @@ from typing import Callable, NamedTuple, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cglgan_tpu.models import nn
 
@@ -241,12 +242,18 @@ def _conv_d_apply(params, state, x, train=True, rng=None):
 # registry
 # ---------------------------------------------------------------------------
 
-_MNIST_G_SPEC = (_block(100, 128, bn=False) + _block(128, 256) +
-                 _block(256, 512) + _block(512, 1024) +
-                 [("linear", 1024, 784), ("tanh",)])
+def _mnist_g_spec(out: int):
+    return (_block(100, 128, bn=False) + _block(128, 256) +
+            _block(256, 512) + _block(512, 1024) +
+            [("linear", 1024, out), ("tanh",)])
+
+
 _MNIST_TRUNK_SPEC = (_block(100, 128, bn=False) + _block(128, 256) +
                      _block(256, 512))
-_MNIST_HEAD_SPEC = _block(512, 1024) + [("linear", 1024, 784), ("tanh",)]
+
+
+def _mnist_head_spec(out: int):
+    return _block(512, 1024) + [("linear", 1024, out), ("tanh",)]
 
 
 def build_generator(family: str, num_heads: int = 1,
@@ -267,10 +274,12 @@ def build_generator(family: str, num_heads: int = 1,
                                 [("linear", 32, 2), ("tanh",)], num_heads)
         return Model(i, a, multipath=True)
     if family == "mnist-mlp":
-        i, a = _mlp_model(_MNIST_G_SPEC, out_shape=img_shape)
+        out = int(np.prod(img_shape))   # reference: np.prod(self.img_shape)
+        i, a = _mlp_model(_mnist_g_spec(out), out_shape=img_shape)
         return Model(i, a)
     if family == "mnist-multipath":
-        i, a = _multipath_model(_MNIST_TRUNK_SPEC, _MNIST_HEAD_SPEC,
+        out = int(np.prod(img_shape))
+        i, a = _multipath_model(_MNIST_TRUNK_SPEC, _mnist_head_spec(out),
                                 num_heads, out_shape=img_shape)
         return Model(i, a, multipath=True)
     if family == "conv":
@@ -281,7 +290,8 @@ def build_generator(family: str, num_heads: int = 1,
     raise ValueError(f"unknown generator family {family!r}")
 
 
-def build_discriminator(family: str, out_dim: int = 1) -> Model:
+def build_discriminator(family: str, out_dim: int = 1,
+                        in_dim: int = 784) -> Model:
     """``family`` one of: 2dmg | mnist | conv.  ``out_dim`` 1 => sigmoid head
     (BCE), 2 => raw logits (CrossEntropy).  conv D always returns 1 raw logit
     (lsgan.py:92-98 has no sigmoid) — use BCE-with-logits."""
@@ -292,7 +302,7 @@ def build_discriminator(family: str, out_dim: int = 1) -> Model:
         i, a = _mlp_model(spec)
         return Model(i, a, out_dim=1)
     if family == "mnist":
-        spec = [("linear", 784, 512), ("lrelu", 0.2),
+        spec = [("linear", in_dim, 512), ("lrelu", 0.2),
                 ("linear", 512, 256), ("lrelu", 0.2),
                 ("linear", 256, out_dim)]
         if out_dim == 1:
@@ -311,7 +321,9 @@ DISC_SPECS = ("2dmg", "mnist", "conv")
 
 def models_for_config(cfg) -> Tuple[Model, Model]:
     """Pick the (G, D) pair the corresponding reference entry script uses."""
-    multi = cfg.algo in ("cglgan", "mixgan")
+    # CGL uses a single-path G when iid==0 (Generator(ims, N if iid != 0
+    # else 1), CGLGAN/MNIST/main.py:167); Mix-G is always multi-path
+    multi = cfg.algo == "mixgan" or (cfg.algo == "cglgan" and cfg.iid != 0)
     n = cfg.clients_per_server
     if cfg.conv:
         g = build_generator("conv-multipath" if multi else "conv", n)
@@ -332,5 +344,6 @@ def models_for_config(cfg) -> Tuple[Model, Model]:
             g = build_generator("mnist-multipath", n, img_shape)
         else:
             g = build_generator("mnist-mlp", img_shape=img_shape)
-        d = build_discriminator("mnist", out_dim)
+        d = build_discriminator("mnist", out_dim,
+                                in_dim=int(np.prod(img_shape)))
     return g, d

@@ -50,6 +50,11 @@ def _cell(row: int, col: int, value) -> str:
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
+        import math
+        if isinstance(value, float) and not math.isfinite(value):
+            # Excel rejects <v>nan</v>/<v>inf</v> numeric cells
+            return (f'<c r="{ref}" t="inlineStr"><is><t>{value!r}</t>'
+                    '</is></c>')
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     s = escape(str(value))
     return f'<c r="{ref}" t="inlineStr"><is><t>{s}</t></is></c>'
