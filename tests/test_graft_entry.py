@@ -17,3 +17,9 @@ class TestGraftEntry:
 
     def test_dryrun_all_devices(self):
         ge.dryrun_multichip(len(jax.devices()))
+
+    def test_dryrun_reexec_bootstrap(self):
+        """The driver calls dryrun_multichip from an un-prepared process (the
+        axon plugin gives it 1 device); the entry must re-exec itself with a
+        forced n-device CPU platform.  Exercise that child path directly."""
+        ge._reexec_dryrun(2)
