@@ -1,0 +1,429 @@
+"""Multi-round trajectory parity: the jitted rounds vs torch protocol twins.
+
+The one-step parity tests (tests/test_torch_round_parity.py) certify that a
+single generator/discriminator update matches torch to float tolerance.  This
+module certifies the *trajectory*: it re-creates the reference's full
+CGL-GAN 2DMG protocol (CGLGAN/2DMG/main.py:103-375 — cloud sync, per-client
+D steps, the trunk/heads freeze dance, the manual Lambda ascent) and the full
+FL-GAN protocol (FLGAN/2DMG/flgan.py:107-258 — broadcast, local D/G sweeps
+with persistent per-worker Adam state, uniform FedAvg) in eager torch, runs
+both implementations for hundreds of rounds from IDENTICAL initial weights
+with IDENTICAL latent/batch streams, and compares the KL-Score /
+Distribution-Score trajectories at every eval tick.
+
+Identical streams: every random draw inside the jitted rounds derives
+deterministically from (seed, round, role) via ``core.prng`` fold-ins, so the
+same draws are re-computed on the host (threefry is backend-independent) and
+fed to the torch twin as plain numpy arrays.  The twins are fresh torch code
+written against the reference protocol shape — not copies.
+
+Run as a script to print the curves recorded in RESULTS.md:
+    PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python -m benchmarks.trajectory_parity
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# stream extraction (host-side mirror of the in-round PRNG discipline)
+# ---------------------------------------------------------------------------
+
+def cgl_round_streams(root, cfg, max_len: int):
+    """Per-round (starts, z_d, z_g) exactly as algos.cgl_family.round_fn
+    draws them: starts (epoch,) int, z_d/z_g (S, B, zdim) float32."""
+    import jax
+    from cglgan_tpu.algos import common
+    from cglgan_tpu.core import prng
+
+    S, B, zdim = cfg.num_servers, cfg.batch_size, cfg.latent_dim
+
+    def at(t):
+        key = prng.for_round(prng.for_role(root, prng.ROLE_LOCAL), t)
+        bkeys = jax.random.split(prng.for_role(key, prng.ROLE_BATCH),
+                                 cfg.epoch)
+        starts = np.asarray([int(common.batch_start(kk, max_len, B))
+                             for kk in bkeys])
+        keys = jax.random.split(key, S)
+        z_d, z_g = [], []
+        for s in range(S):
+            k_zd, k_zg, _k_d, _k_drop = jax.random.split(keys[s], 4)
+            z_d.append(np.asarray(jax.random.normal(k_zd, (B, zdim))))
+            z_g.append(np.asarray(jax.random.normal(k_zg, (B, zdim))))
+        return starts, np.stack(z_d), np.stack(z_g)
+
+    return at
+
+
+def flgan_round_streams(root, cfg, max_len: int):
+    """Per-round (starts, z1, z2) as algos.fedavg_family draws them:
+    starts (steps,), z1/z2 (W, steps, B, zdim) — z1 feeds the D step's fake
+    batch, z2 the G step."""
+    import jax
+    from cglgan_tpu.algos import common
+    from cglgan_tpu.core import prng
+
+    W, B, zdim = cfg.num_workers, cfg.batch_size, cfg.latent_dim
+    steps = cfg.epoch    # 2DMG "batches" local-sweep semantics
+
+    def at(t):
+        key = prng.for_round(prng.for_role(root, prng.ROLE_LOCAL), t)
+        keys = jax.random.split(key, W)
+        starts = np.asarray([
+            int(common.batch_start(kk, max_len, B)) for kk in
+            jax.random.split(prng.for_role(key, prng.ROLE_BATCH), steps)])
+        z1 = np.zeros((W, steps, B, zdim), np.float32)
+        z2 = np.zeros((W, steps, B, zdim), np.float32)
+        for w in range(W):
+            skeys = jax.random.split(keys[w], steps)
+            for i in range(steps):
+                kzd, kzg, _, _ = jax.random.split(skeys[i], 4)
+                z1[w, i] = np.asarray(jax.random.normal(kzd, (B, zdim)))
+                z2[w, i] = np.asarray(jax.random.normal(kzg, (B, zdim)))
+        return starts, z1, z2
+
+    return at
+
+
+def eval_z(root, cfg):
+    """The fixed eval latents each implementation samples with."""
+    import jax
+    from cglgan_tpu.core import prng
+
+    n, zdim, S = cfg.num_sample, cfg.latent_dim, cfg.num_servers
+    if cfg.algo in ("cglgan", "capgan", "mixgan"):
+        per = max(n // S, 1)
+        return np.stack([
+            np.asarray(jax.random.normal(
+                prng.for_member(prng.for_role(root, prng.ROLE_EVAL), i),
+                (per, zdim))) for i in range(S)])
+    return np.asarray(jax.random.normal(
+        prng.for_role(root, prng.ROLE_EVAL), (n, zdim)))
+
+
+# ---------------------------------------------------------------------------
+# torch twins (fresh code against the reference protocol shape)
+# ---------------------------------------------------------------------------
+
+def _torch():
+    import torch
+    torch.set_num_threads(1)
+    return torch
+
+
+def _t_multipath_g(torch, k):
+    import torch.nn as tnn
+
+    class G(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.trunk = tnn.Sequential(tnn.Linear(100, 32),
+                                        tnn.LeakyReLU(0.2))
+            self.heads = tnn.ModuleList([
+                tnn.Sequential(tnn.Linear(32, 2), tnn.Tanh())
+                for _ in range(k)])
+
+        def forward(self, z):          # (k, B, 2): head i -> client i
+            h = self.trunk(z)
+            return torch.stack([p(h) for p in self.heads], 0)
+
+    return G()
+
+
+def _t_flgan_g(torch):
+    import torch.nn as tnn
+    return tnn.Sequential(tnn.Linear(100, 256), tnn.LeakyReLU(0.2),
+                          tnn.Linear(256, 128), tnn.LeakyReLU(0.2),
+                          tnn.Linear(128, 2), tnn.Tanh())
+
+
+def _t_2dmg_d(torch):
+    import torch.nn as tnn
+    return tnn.Sequential(tnn.Linear(2, 128), tnn.LeakyReLU(0.2),
+                          tnn.Linear(128, 256), tnn.LeakyReLU(0.2),
+                          tnn.Linear(256, 1), tnn.Sigmoid())
+
+
+def _copy_linear(torch, module, p):
+    with torch.no_grad():
+        module.weight.copy_(torch.from_numpy(np.asarray(p["w"]).T.copy()))
+        module.bias.copy_(torch.from_numpy(np.asarray(p["b"]).copy()))
+
+
+def _copy_seq_d(torch, td, dp):
+    lins = [m for m in td if m.__class__.__name__ == "Linear"]
+    lin_params = [p for p in dp if isinstance(p, dict) and "w" in p]
+    for m, p in zip(lins, lin_params):
+        _copy_linear(torch, m, p)
+
+
+class TorchCGLTwin:
+    """The reference CGL-GAN 2DMG protocol in eager torch, consuming
+    externally supplied latent/batch streams (CGLGAN/2DMG/main.py:103-375)."""
+
+    def __init__(self, cfg, part, jax_state):
+        torch = self.torch = _torch()
+        import torch.nn as tnn
+        from cglgan_tpu.fed import topology
+
+        self.cfg = cfg
+        S, self.k = cfg.num_servers, cfg.clients_per_server
+        self.S, k = S, self.k
+        self.B = cfg.batch_size
+        self.shards = np.asarray(part.data).reshape(
+            (S, k) + part.data.shape[1:])
+        self.beta = topology.server_beta(part.lengths, S)        # (S, k)
+        dl = topology.server_data_len(part.lengths, S)
+        self.a_w = (dl / dl.sum()).astype(np.float32)            # (S,)
+        self.lam = np.zeros(S, np.float32)
+        self.bce = tnn.BCELoss()
+
+        gp = jax_state.g.params
+        dp = jax_state.d.params
+        self.G, self.optG, self.D, self.optD = [], [], [], []
+        for s in range(S):
+            g = _t_multipath_g(torch, k)
+            _copy_linear(torch, g.trunk[0],
+                         {"w": np.asarray(gp["trunk"][0]["w"])[s],
+                          "b": np.asarray(gp["trunk"][0]["b"])[s]})
+            for i in range(k):
+                _copy_linear(torch, g.heads[i][0],
+                             {"w": np.asarray(gp["heads"][0]["w"])[s, i],
+                              "b": np.asarray(gp["heads"][0]["b"])[s, i]})
+            self.G.append(g)
+            self.optG.append(torch.optim.Adam(
+                g.parameters(), lr=cfg.lr_g, betas=(cfg.b1, cfg.b2)))
+            ds_row, opt_row = [], []
+            for i in range(k):
+                d = _t_2dmg_d(torch)
+                _copy_seq_d(torch, d, [
+                    None if x is None else
+                    {kk: np.asarray(vv)[s, i] for kk, vv in x.items()}
+                    for x in dp])
+                ds_row.append(d)
+                opt_row.append(torch.optim.Adam(
+                    d.parameters(), lr=cfg.lr_d, betas=(cfg.b1, cfg.b2)))
+            self.D.append(ds_row)
+            self.optD.append(opt_row)
+
+    def _cloud_sync(self, t):
+        """Weighted trunk average + sigma-mix every cloud_epoch rounds
+        (CGLGAN/MNIST/main.py:100-112,177-184)."""
+        cfg, torch = self.cfg, self.torch
+        if cfg.cloud_epoch <= 0 or t % max(cfg.cloud_epoch, 1) != 0:
+            return
+        with torch.no_grad():
+            avg_w = sum(float(self.a_w[s]) * self.G[s].trunk[0].weight
+                        for s in range(self.S))
+            avg_b = sum(float(self.a_w[s]) * self.G[s].trunk[0].bias
+                        for s in range(self.S))
+            for s in range(self.S):
+                tr = self.G[s].trunk[0]
+                tr.weight.copy_(cfg.segema * tr.weight
+                                + (1 - cfg.segema) * avg_w)
+                tr.bias.copy_(cfg.segema * tr.bias
+                              + (1 - cfg.segema) * avg_b)
+
+    def round(self, t, starts, z_d, z_g):
+        torch, cfg, k = self.torch, self.cfg, self.k
+        self._cloud_sync(t)
+        valid = torch.ones(self.B, 1)
+        fake_t = torch.zeros(self.B, 1)
+        for s in range(self.S):
+            g, optg = self.G[s], self.optG[s]
+            # Xd: detached fake batch, head i routed to client i
+            xd = g(torch.from_numpy(z_d[s])).detach()
+            for i in range(k):
+                d, optd = self.D[s][i], self.optD[s][i]
+                for e in range(cfg.epoch):
+                    st = int(starts[e])
+                    real = torch.from_numpy(
+                        self.shards[s, i, st:st + self.B].copy())
+                    loss = self.bce(d(real), valid) \
+                        + self.bce(d(xd[i]), fake_t)
+                    optd.zero_grad()
+                    loss.backward()
+                    optd.step()
+            # generator: per-client losses through the UPDATED Ds
+            xg = g(torch.from_numpy(z_g[s]))
+            graph = [self.bce(self.D[s][i](xg[i]), valid) for i in range(k)]
+            l = torch.stack(graph).detach()
+            # the Lambda game (cgl_mean_game, CGLGAN/MNIST/main.py:279-292)
+            gamma = torch.softmax(torch.tensor(self.lam[s]) * l, dim=0)
+            w = (torch.from_numpy(self.beta[s]) + gamma) / 2.0
+            f_gamma = (gamma * l).sum()
+            optg.zero_grad()
+            # heads <- sum(l) with trunk frozen; trunk <- sum(w*l) with heads
+            # frozen (the reference freeze dance, main.py:272-289)
+            g.trunk.requires_grad_(False)
+            sum(graph).backward(retain_graph=True)
+            g.trunk.requires_grad_(True)
+            g.heads.requires_grad_(False)
+            (w * torch.stack(graph)).sum().backward()
+            g.heads.requires_grad_(True)
+            optg.step()
+            self.lam[s] += 10.0 * float((l * l * gamma).sum()
+                                        - (l * gamma).sum() * f_gamma)
+
+    def sample(self, zs):
+        """Painter semantics: per server G(fixed_z), heads interleaved back
+        down to the per-server quota (capgan.py:79-83)."""
+        torch, k = self.torch, self.k
+        outs = []
+        with torch.no_grad():
+            for s in range(self.S):
+                out = self.G[s](torch.from_numpy(zs[s]))      # (k, per, 2)
+                per = out.shape[1]
+                outs.append(out.reshape(k * per, 2)[::k].numpy())
+        return np.concatenate(outs, axis=0)
+
+
+class TorchFLGANTwin:
+    """The reference FL-GAN 2DMG protocol in eager torch
+    (FLGAN/2DMG/flgan.py:107-258): broadcast -> local D/G sweeps with
+    persistent per-worker Adam state -> uniform FedAvg."""
+
+    def __init__(self, cfg, part, jax_state):
+        torch = self.torch = _torch()
+        import torch.nn as tnn
+        self.cfg = cfg
+        self.W = cfg.num_workers
+        self.B = cfg.batch_size
+        self.shards = np.asarray(part.data)
+        self.bce = tnn.BCELoss()
+
+        self.G = [_t_flgan_g(torch) for _ in range(self.W)]
+        self.D = [_t_2dmg_d(torch) for _ in range(self.W)]
+        gp, dp = jax_state.g.params, jax_state.d.params
+        for w in range(self.W):
+            lins = [m for m in self.G[w]
+                    if m.__class__.__name__ == "Linear"]
+            for m, p in zip(lins, [x for x in gp
+                                   if isinstance(x, dict) and "w" in x]):
+                _copy_linear(torch, m, p)
+            _copy_seq_d(torch, self.D[w], dp)
+        self.optG = [torch.optim.Adam(g.parameters(), lr=cfg.lr_g,
+                                      betas=(cfg.b1, cfg.b2))
+                     for g in self.G]
+        self.optD = [torch.optim.Adam(d.parameters(), lr=cfg.lr_d,
+                                      betas=(cfg.b1, cfg.b2))
+                     for d in self.D]
+        # the server copy (broadcast source)
+        self.g_global = {k: v.clone() for k, v in
+                         self.G[0].state_dict().items()}
+        self.d_global = {k: v.clone() for k, v in
+                         self.D[0].state_dict().items()}
+
+    def round(self, t, starts, z1, z2):
+        torch, cfg = self.torch, self.cfg
+        valid = torch.ones(self.B, 1)
+        fake_t = torch.zeros(self.B, 1)
+        for w in range(self.W):
+            g, d = self.G[w], self.D[w]
+            # broadcast: load global params, keep local Adam moments
+            with torch.no_grad():
+                g.load_state_dict(self.g_global)
+                d.load_state_dict(self.d_global)
+            for i in range(cfg.epoch):
+                st = int(starts[i])
+                real = torch.from_numpy(self.shards[w, st:st + self.B].copy())
+                fake = g(torch.from_numpy(z1[w, i])).detach()
+                d_loss = self.bce(d(real), valid) + self.bce(d(fake), fake_t)
+                self.optD[w].zero_grad()
+                d_loss.backward()
+                self.optD[w].step()
+                g_loss = self.bce(d(g(torch.from_numpy(z2[w, i]))), valid)
+                self.optG[w].zero_grad()
+                g_loss.backward()
+                self.optG[w].step()
+        # uniform FedAvg of params (FLGAN/MNIST/flgan.py:148-162)
+        with torch.no_grad():
+            for k_ in self.g_global:
+                self.g_global[k_] = torch.stack(
+                    [g.state_dict()[k_] for g in self.G]).mean(0)
+            for k_ in self.d_global:
+                self.d_global[k_] = torch.stack(
+                    [d.state_dict()[k_] for d in self.D]).mean(0)
+
+    def sample(self, zs):
+        torch = self.torch
+        g = _t_flgan_g(torch)
+        g.load_state_dict(self.g_global)
+        with torch.no_grad():
+            return g(torch.from_numpy(zs.copy())).numpy()
+
+
+# ---------------------------------------------------------------------------
+# the comparison harness
+# ---------------------------------------------------------------------------
+
+def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
+    """Run both implementations for ``rounds`` rounds and return the list of
+    per-tick dicts {round, kl_jax, ds_jax, kl_torch, ds_torch}."""
+    import jax
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from cglgan_tpu.algos.registry import build_runner, load_partition
+    from cglgan_tpu.core import prng
+    from cglgan_tpu.core.config import FedGANConfig
+    from cglgan_tpu.evalx.hist2d import kl_and_distribution_score
+
+    base = dict(dataset="2dmg", num_class=4, num_sample=256, batch_size=32,
+                iid=1, epoch=1)
+    base.update(cfg_kw)
+    cfg = FedGANConfig(algo=algo, num_communication=rounds, **base)
+    part = load_partition(cfg)
+    runner = build_runner(cfg, part)
+    state = runner.init_state()
+    root = prng.root_key(cfg.seed)
+    max_len = part.data.shape[1]
+
+    if algo == "cglgan":
+        twin = TorchCGLTwin(cfg, part, state)
+        streams = cgl_round_streams(root, cfg, max_len)
+    elif algo == "flgan":
+        twin = TorchFLGANTwin(cfg, part, state)
+        streams = flgan_round_streams(root, cfg, max_len)
+    else:
+        raise ValueError(algo)
+
+    zs = eval_z(root, cfg)
+    pool = jnp.asarray(part.eval_pool)
+    round_jit = jax.jit(runner.round_fn)
+
+    out = []
+    for t in range(rounds):
+        st, a, b = streams(t)
+        twin.round(t, st, a, b)
+        state, _ = round_jit(state)
+        if (t + 1) % tick == 0:
+            s_j = runner.sample(state, cfg.num_sample)
+            s_t = twin.sample(zs)
+            kl_j, ds_j = kl_and_distribution_score(s_j, pool)
+            kl_t, ds_t = kl_and_distribution_score(jnp.asarray(s_t), pool)
+            out.append({"round": t + 1,
+                        "kl_jax": float(kl_j), "ds_jax": float(ds_j),
+                        "kl_torch": float(kl_t), "ds_torch": float(ds_t),
+                        "samples_rmse": float(np.sqrt(np.mean(
+                            (np.asarray(s_j) - s_t) ** 2)))})
+    return out
+
+
+def main():
+    for algo, rounds, tick in (("cglgan", 400, 50), ("flgan", 400, 50)):
+        print(f"== {algo}: {rounds} rounds, tick {tick} ==")
+        kw = {"num_workers": 4, "num_servers": 2, "cloud_epoch": 2} \
+            if algo == "cglgan" else {"num_workers": 4}
+        for row in run_compare(algo, rounds, tick, **kw):
+            print("  " + " ".join(f"{k}={v:.4f}" if isinstance(v, float)
+                                  else f"{k}={v}" for k, v in row.items()))
+
+
+if __name__ == "__main__":
+    main()

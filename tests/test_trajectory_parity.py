@@ -1,0 +1,35 @@
+"""Multi-round trajectory parity vs the torch protocol twins.
+
+The full-length curves (400 rounds, both algos) are recorded in RESULTS.md
+and reproducible via ``python -m benchmarks.trajectory_parity``; these tests
+run reduced horizons to keep the suite fast while still certifying that N
+rounds of the jitted implementation and the reference-shaped eager-torch
+protocol produce the same KL/DS trajectory from identical inits and streams
+(reference: CGLGAN/2DMG/main.py:103-375, FLGAN/2DMG/flgan.py:107-258).
+"""
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from benchmarks.trajectory_parity import run_compare  # noqa: E402
+
+
+class TestTrajectoryParity:
+    def test_cglgan_200_rounds(self):
+        rows = run_compare("cglgan", 200, 50,
+                           num_workers=4, num_servers=2, cloud_epoch=2)
+        assert len(rows) == 4
+        for r in rows:
+            assert r["samples_rmse"] < 5e-3, r
+            assert abs(r["kl_jax"] - r["kl_torch"]) < 0.05, r
+            assert abs(r["ds_jax"] - r["ds_torch"]) < 0.02, r
+        # the comparison is meaningful: training moved the metrics
+        assert rows[-1]["ds_jax"] > 0.0
+
+    def test_flgan_150_rounds(self):
+        rows = run_compare("flgan", 150, 75, num_workers=4)
+        assert len(rows) == 2
+        for r in rows:
+            assert r["samples_rmse"] < 2e-2, r
+            assert abs(r["kl_jax"] - r["kl_torch"]) < 0.3, r
+            assert abs(r["ds_jax"] - r["ds_torch"]) < 0.05, r
