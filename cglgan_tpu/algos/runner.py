@@ -17,7 +17,6 @@ import jax.numpy as jnp
 
 from cglgan_tpu.core.config import FedGANConfig
 from cglgan_tpu.data.partition import Partition
-from cglgan_tpu.evalx.hist2d import kl_and_distribution_score, mode_coverage
 
 
 class Runner(NamedTuple):
@@ -48,30 +47,34 @@ def train(runner: Runner,
           rounds: Optional[int] = None,
           eval_every: Optional[int] = None,
           eval_n: Optional[int] = None,
-          on_tick: Optional[Callable[[int, Dict], None]] = None,
-          state=None) -> Dict[str, Any]:
+          on_tick: Optional[Callable[..., None]] = None,
+          state=None,
+          evaluator: Optional[Callable] = None) -> Dict[str, Any]:
     """Run training with periodic evaluation.
 
     Returns {"state": final_state, "history": [tick dicts]}.  Each tick dict
-    carries the averaged round metrics over the chunk plus (for 2DMG) the
-    KL Score / Distribution Score of ``eval_n`` fresh samples against the
-    partition's eval pool (reference painter cadence, num_plt rounds —
-    CGLGAN/2DMG/main.py:73).
+    carries the averaged round metrics over the chunk plus the workload's
+    eval metrics — KL/DS/coverage for 2DMG, FID/IS for image configs — from
+    ``evalx.evaluator.make_evaluator`` (reference painter cadence, num_plt
+    rounds — CGLGAN/2DMG/main.py:73, FLGAN/MNIST/flgan.py:62-104).  Pass
+    ``evaluator=False`` to skip workload evaluation, or a custom callable
+    ``(runner, state) -> dict``.  ``on_tick`` is called as
+    ``on_tick(round, tick, state)``; ``tick["round"]`` is the ABSOLUTE round
+    counter (resume-aware).
     """
     cfg = runner.cfg
     rounds = rounds if rounds is not None else cfg.num_communication
     eval_every = eval_every if eval_every is not None else cfg.num_plt
     eval_every = max(1, min(eval_every, rounds))
-    eval_n = eval_n if eval_n is not None else cfg.num_sample
 
     if state is None:
         state = runner.init_state()
+    if evaluator is None:
+        from cglgan_tpu.evalx.evaluator import make_evaluator
+        evaluator = make_evaluator(cfg, runner.part, eval_n=eval_n)
+
     chunk = scan_rounds(runner.round_fn, eval_every)
     chunk_n = eval_every
-
-    real_pool = None
-    if not cfg.is_image:
-        real_pool = jnp.asarray(runner.part.eval_pool)
 
     history: List[Dict] = []
     t0 = time.perf_counter()
@@ -84,17 +87,12 @@ def train(runner: Runner,
         state, metrics = chunk(state)
         done += n
         tick: Dict[str, Any] = {k: float(v) for k, v in metrics.items()}
-        tick["round"] = done
-        if real_pool is not None:
-            samples = runner.sample(state, eval_n)
-            kl, ds = kl_and_distribution_score(samples, real_pool)
-            cov = mode_coverage(samples, real_pool)
-            tick["kl_score"] = float(kl)
-            tick["distribution_score"] = float(ds)
-            tick["mode_coverage"] = float(cov)
+        tick["round"] = int(state.t) if hasattr(state, "t") else done
+        if evaluator:
+            tick.update(evaluator(runner, state))
         tick["wall_s"] = time.perf_counter() - t0
         tick["rounds_per_s"] = done / tick["wall_s"]
         history.append(tick)
         if on_tick is not None:
-            on_tick(done, tick)
+            on_tick(tick["round"], tick, state)
     return {"state": state, "history": history}

@@ -63,6 +63,12 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
                    help="use the conv LSGAN G/D pair (model/lsgan.py parity)")
     p.add_argument("--data-dir", default=None,
                    help="directory with MNIST IDX files (else synthetic)")
+    p.add_argument("--inception-weights", default=None,
+                   help="torchvision inception_v3 state dict (.npz or .pth) "
+                        "for reference-comparable FID (else: proxy features)")
+    p.add_argument("--fid-stats", default=None,
+                   help=".npz with precomputed real-image mu/sigma "
+                        "activation stats (pytorch-fid format)")
     p.add_argument("--out", default="./logger", help="run-dir root")
     p.add_argument("--name", default=None, help="run-dir name")
     p.add_argument("--ckpt-every", type=int, default=5000,
@@ -115,6 +121,10 @@ def cmd_run(args) -> int:
         print(f"[tpufed] WARNING: no --data-dir given for {cfg.dataset}; "
               "falling back to the deterministic synthetic glyph dataset "
               "(same shapes/cardinality, not handwriting)")
+    if cfg.dtype == "bfloat16" and cfg.dataset == "2dmg":
+        print("[tpufed] WARNING: --dtype bfloat16 degrades the 2DMG "
+              "Distribution Score (see PERF.md); use float32 for 2DMG "
+              "fidelity runs")
     part = load_partition(cfg)
     run_dir = RunDir(args.out, args.name, cfg)
     print(f"[tpufed] run dir: {run_dir.path}")
@@ -146,21 +156,25 @@ def cmd_run(args) -> int:
 
     eval_pool = np.asarray(part.eval_pool)
 
-    def on_tick(t, tick):
+    last_ckpt = [int(state.t)]
+
+    def on_tick(t, tick, cur_state):
         msg = " ".join(f"{k}={v:.4f}" for k, v in sorted(tick.items())
                        if isinstance(v, float))
         print(f"[tpufed] round {t}: {msg}")
         run_dir.log(tick)
-        samples = np.asarray(runner.sample(state_box[0], min(100, cfg.num_sample)))
+        samples = np.asarray(runner.sample(cur_state,
+                                           min(100, cfg.num_sample)))
         if cfg.is_image:
             save_image_grid(samples, run_dir.file(f"{t}.png"))
         else:
             save_scatter_2d(run_dir.file(f"{t}.png"), eval_pool[:2000], samples)
-        if args.ckpt_every and t % args.ckpt_every == 0:
-            save_checkpoint(run_dir.file(f"ckpt_{t}"), state_box[0])
-
-    # on_tick needs the evolving state; the loop below updates this box
-    state_box = [state]
+        # checkpoint whenever a ckpt_every multiple is crossed (exact
+        # divisibility by the tick cadence not required)
+        if args.ckpt_every and t // args.ckpt_every > \
+                last_ckpt[0] // args.ckpt_every:
+            save_checkpoint(run_dir.file(f"ckpt_{t}"), cur_state)
+            last_ckpt[0] = t
 
     remaining = cfg.num_communication - int(state.t)
     if remaining <= 0:
@@ -170,69 +184,30 @@ def cmd_run(args) -> int:
     if args.profile:
         from cglgan_tpu.utils.profiling import trace
         with trace(run_dir.file("profile")):
-            out = train(runner, rounds=min(cfg.num_plt, remaining),
-                        state=state)
-        state_box[0] = out["state"]
+            train(runner, rounds=min(cfg.num_plt, remaining), state=state,
+                  evaluator=False)
         print(f"[tpufed] profile written to {run_dir.file('profile')}")
         return 0
 
-    # chunked manual loop so on_tick sees the current state
-    from cglgan_tpu.algos.runner import scan_rounds
-    from cglgan_tpu.evalx.hist2d import kl_and_distribution_score, mode_coverage
-    import time as _time
-
+    # the single source of eval truth — library callers get the same metrics
+    from cglgan_tpu.evalx.evaluator import make_evaluator
+    evaluator = make_evaluator(cfg, part,
+                               fid_stats=args.fid_stats,
+                               inception_weights=args.inception_weights)
     if cfg.is_image:
-        # FID/IS per tick on 100-image subsamples, the reference protocol
-        # (FLGAN/MNIST/flgan.py:89-98).  Feature space: fixed random conv
-        # embedding (no Inception weights exist in a zero-egress image —
-        # see evalx/fid.py); IS uses a probe classifier trained on the data.
-        from cglgan_tpu.evalx.fid import (classifier_probe,
-                                          conv_feature_extractor, fid,
-                                          inception_score)
-        extractor = conv_feature_extractor(img_side)
-        data_all = part.data.reshape(-1, img_side, img_side)
-        labels_all = part.labels.reshape(-1)
-        probe = classifier_probe(data_all[:20000], labels_all[:20000],
-                                 cfg.num_class, steps=300)
-        real_eval = (eval_pool[:100].astype(np.float32) / 255.0 - 0.5) / 0.5
-        real_eval = real_eval.reshape(-1, 1, img_side, img_side)
+        space = "inception-pool3" if args.inception_weights else "proxy-conv"
+        print(f"[tpufed] FID feature space: {space}"
+              + (f", real stats from {args.fid_stats}" if args.fid_stats
+                 else ""))
 
-    chunk_n = max(1, min(cfg.num_plt, remaining))
-    chunk = scan_rounds(runner.round_fn, chunk_n)
-    t0 = _time.perf_counter()
-    done = int(state.t)
-    while done < cfg.num_communication:
-        n = min(chunk_n, cfg.num_communication - done)  # exact round count
-        if n != chunk_n:
-            chunk = scan_rounds(runner.round_fn, n)
-            chunk_n = n
-        state, metrics = chunk(state)
-        state_box[0] = state
-        done = int(state.t)
-        tick = {k: float(v) for k, v in metrics.items()}
-        tick["round"] = done
-        if not cfg.is_image:
-            # MD-GAN evaluates on 32-bin histograms, everything else 16
-            # (MDGAN/2DMG/mdgan.py:69 vs ACGAN/2DMG/acgan.py:64)
-            bins = 32 if cfg.algo == "mdgan" else 16
-            samples = runner.sample(state, cfg.num_sample)
-            kl, ds = kl_and_distribution_score(samples, eval_pool, bins)
-            tick["kl_score"] = float(kl)
-            tick["distribution_score"] = float(ds)
-            tick["mode_coverage"] = float(mode_coverage(samples, eval_pool,
-                                                        bins))
-        else:
-            gen = np.asarray(runner.sample(state, 100)).reshape(
-                -1, 1, img_side, img_side)[:100]
-            tick["fid"] = fid(extractor, gen, real_eval)
-            tick["inception_score"] = inception_score(probe, gen,
-                                                      cfg.num_class)
-        tick["wall_s"] = _time.perf_counter() - t0
-        tick["rounds_per_s"] = done / max(tick["wall_s"], 1e-9)
-        on_tick(done, tick)
+    out = train(runner, rounds=remaining, state=state, on_tick=on_tick,
+                evaluator=evaluator)
+    state = out["state"]
     save_checkpoint(run_dir.file("ckpt_final"), state)
     run_dir.close()
-    print(f"[tpufed] done: {done} rounds in {_time.perf_counter()-t0:.1f}s")
+    hist = out["history"]
+    print(f"[tpufed] done: {int(state.t)} rounds in "
+          f"{hist[-1]['wall_s']:.1f}s" if hist else "[tpufed] done")
     return 0
 
 
@@ -266,29 +241,20 @@ def cmd_eval(args) -> int:
     samples = np.asarray(runner.sample(state, args.n))
     out = args.out or os.path.join(run_dir, f"eval_{int(state.t)}")
     report = {"round": int(state.t), "n": args.n}
+    from cglgan_tpu.algos.registry import load_partition
+    from cglgan_tpu.evalx.evaluator import make_evaluator
+    part = load_partition(cfg)
     if cfg.is_image:
         side = cfg.img_size + 4 if cfg.conv else cfg.img_size
         save_image_grid(samples.reshape(-1, 1, side, side)[:100],
                         out + ".png")
-        from cglgan_tpu.evalx.fid import conv_feature_extractor, fid
-        from cglgan_tpu.algos.registry import load_partition
-        part = load_partition(cfg)
-        real = (part.eval_pool[:args.n].astype(np.float32) / 255. - .5) / .5
-        report["fid"] = fid(conv_feature_extractor(side),
-                            samples.reshape(-1, 1, side, side)[:args.n],
-                            real.reshape(-1, 1, side, side))
     else:
-        from cglgan_tpu.algos.registry import load_partition
-        from cglgan_tpu.evalx.hist2d import (kl_and_distribution_score,
-                                             mode_coverage)
-        part = load_partition(cfg)
         save_scatter_2d(out + ".png", part.eval_pool[:2000], samples)
-        bins = 32 if cfg.algo == "mdgan" else 16
-        kl, ds = kl_and_distribution_score(samples, part.eval_pool, bins)
-        report["kl_score"] = float(kl)
-        report["distribution_score"] = float(ds)
-        report["mode_coverage"] = float(mode_coverage(samples,
-                                                      part.eval_pool, bins))
+    evaluator = make_evaluator(
+        cfg, part, eval_n=args.n,
+        fid_stats=getattr(args, "fid_stats", None),
+        inception_weights=getattr(args, "inception_weights", None))
+    report.update(evaluator(runner, state))
     print(json.dumps(report))
     return 0
 
@@ -308,6 +274,8 @@ def main(argv=None) -> int:
     peval.add_argument("--n", type=int, default=1000)
     peval.add_argument("--out", default=None)
     peval.add_argument("--platform", default=None)
+    peval.add_argument("--inception-weights", default=None)
+    peval.add_argument("--fid-stats", default=None)
     peval.set_defaults(fn=cmd_eval)
     args = parser.parse_args(argv)
     return args.fn(args)

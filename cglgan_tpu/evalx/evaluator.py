@@ -1,0 +1,88 @@
+"""The per-workload evaluator: one source of truth for tick metrics.
+
+2DMG configs score KL / Distribution Score / mode coverage on the painter's
+histogram protocol (ACGAN/2DMG/acgan.py:56-99; MD-GAN uses 32 bins,
+MDGAN/2DMG/mdgan.py:69, everything else 16).  Image configs score FID and
+Inception Score on 100-image subsamples per tick (FLGAN/MNIST/flgan.py:62-104)
+over a pluggable feature space:
+
+* with ``inception_weights`` — the real InceptionV3 pool3 space
+  (``evalx.inception``), reference-comparable FID;
+* otherwise — the documented proxy: a fixed random-conv embedding for FID and
+  a probe classifier for IS (``evalx.fid``).
+
+``fid_stats`` optionally supplies precomputed real-image activation stats
+(pytorch-fid's ``.npz`` mu/sigma format) so reference FID can be computed
+without shipping the real dataset through the extractor each run.
+
+Built once per run (the probe classifier trains here); the returned callable
+is cheap per tick.  Both ``runner.train`` and the CLI consume this — library
+callers get the same metrics the CLI prints.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_evaluator(cfg, part, eval_n: Optional[int] = None,
+                   fid_stats: Optional[str] = None,
+                   inception_weights: Optional[str] = None,
+                   probe_steps: int = 300) -> Callable:
+    """Returns ``evaluate(runner, state) -> dict`` for the config's workload."""
+    if not cfg.is_image:
+        from cglgan_tpu.evalx.hist2d import (kl_and_distribution_score,
+                                             mode_coverage)
+        bins = 32 if cfg.algo == "mdgan" else 16
+        pool = jnp.asarray(part.eval_pool)
+        n = eval_n if eval_n is not None else cfg.num_sample
+
+        def evaluate(runner, state) -> Dict[str, float]:
+            samples = runner.sample(state, n)
+            kl, ds = kl_and_distribution_score(samples, pool, bins)
+            return {"kl_score": float(kl),
+                    "distribution_score": float(ds),
+                    "mode_coverage": float(mode_coverage(samples, pool, bins))}
+
+        return evaluate
+
+    from cglgan_tpu.evalx.fid import (activation_stats, classifier_probe,
+                                      conv_feature_extractor,
+                                      frechet_distance, inception_score)
+
+    side = cfg.img_size + 4 if cfg.conv else cfg.img_size
+    n = eval_n if eval_n is not None else 100    # reference subsample size
+
+    if inception_weights:
+        from cglgan_tpu.evalx.inception import (inception_extractor,
+                                                load_inception_weights)
+        extractor = inception_extractor(load_inception_weights(
+            inception_weights))
+    else:
+        extractor = conv_feature_extractor(side)
+
+    # IS always needs a class-posterior model over the workload's classes;
+    # the pool3 extractor has no class head, so the probe serves both setups
+    data_all = part.data.reshape(-1, side, side)
+    labels_all = part.labels.reshape(-1)
+    probe = classifier_probe(data_all[:20000], labels_all[:20000],
+                             cfg.num_class, steps=probe_steps)
+
+    if fid_stats:
+        from cglgan_tpu.evalx.inception import load_fid_stats
+        mu_r, cov_r = load_fid_stats(fid_stats)
+    else:
+        real = (part.eval_pool[:n].astype(np.float32) / 255.0 - 0.5) / 0.5
+        real = real.reshape(-1, 1, side, side)
+        mu_r, cov_r = activation_stats(extractor, real)
+
+    def evaluate(runner, state) -> Dict[str, float]:
+        gen = np.asarray(runner.sample(state, n)).reshape(
+            -1, 1, side, side)[:n]
+        mu_g, cov_g = activation_stats(extractor, gen)
+        return {"fid": frechet_distance(mu_g, cov_g, mu_r, cov_r),
+                "inception_score": inception_score(probe, gen, cfg.num_class)}
+
+    return evaluate
