@@ -114,8 +114,15 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
         dn = NetState(*jax.tree.map(
             lambda x: x.reshape((S, k) + x.shape[1:]), (dp, dbn, dopt)))
         dn = NetState(*(meshes.place(t, mesh, spec_sk) for t in dn))
-        gn = NetState(*(meshes.place(t, mesh, P()) for t in
-                        (gp, gbn, gopt)))
+        if cfg.model_shards > 1:
+            # optional TP: generator weights (and their mirrored Adam
+            # moments) column-sharded over the mesh's `model` axis; the
+            # leading servers axis stays replicated (lead=1)
+            gn = NetState(*(meshes.place_model_tp(t, mesh, lead=1)
+                            for t in (gp, gbn, gopt)))
+        else:
+            gn = NetState(*(meshes.place(t, mesh, P()) for t in
+                            (gp, gbn, gopt)))
         lam = jnp.zeros((S,), jnp.float32)   # Lambda starts at 0 (capgan.py:140)
         return FedState(gn, dn, lam, jnp.int32(0))
 

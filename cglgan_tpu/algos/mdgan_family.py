@@ -140,8 +140,16 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
             flat_d = jax.tree.map(
                 lambda x: x.reshape((S * k,) + x.shape[2:]), new_d)
             if cfg.algo == "mdgan":
-                shared = NetState(collectives.ring_shift_tree(flat_d.params, 1),
-                                  collectives.ring_shift_tree(flat_d.bn, 1),
+                if cfg.d_swap == "shuffle":
+                    # the reference's commented semantics: a fresh random
+                    # shuffle of the received Ds per swap event
+                    # (MDGAN/MNIST/mdgan.py:158-164) — seeded by round
+                    perm = jax.random.permutation(
+                        prng.for_role(key, prng.ROLE_SWAP), S * k)
+                    swap = lambda t: collectives.permute_tree(t, perm)
+                else:
+                    swap = lambda t: collectives.ring_shift_tree(t, 1)
+                shared = NetState(swap(flat_d.params), swap(flat_d.bn),
                                   flat_d.opt)
             else:
                 shared = NetState(

@@ -56,6 +56,9 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
                         "see PERF.md)")
     p.add_argument("--seed", type=int, default=20211212)
     p.add_argument("--weighting", default=None, choices=WEIGHTINGS)
+    p.add_argument("--d-swap", default="ring", choices=("ring", "shuffle"),
+                   help="MD-GAN E-round D-swap: deterministic ring permute "
+                        "or the reference's seeded random shuffle")
     p.add_argument("--dropout-rate", type=float, default=0.0,
                    help="P(client misses a round) — straggler simulation "
                         "(flgan/mdgan/acgan/fegan)")
@@ -80,6 +83,9 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--devices", type=int, default=0,
                    help="shard clients over the first N devices "
                         "(0 = single-device, no mesh)")
+    p.add_argument("--model-shards", type=int, default=1,
+                   help="tensor-parallel generator shards over a `model` "
+                        "mesh axis (must divide --devices; 1 = off)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of one eval chunk")
 
@@ -100,7 +106,9 @@ def cfg_from_args(args) -> FedGANConfig:
         lr_d=args.lr_d, b1=args.b1, b2=args.b2, lr_lambda=args.lr_lambda,
         img_size=args.img_size, seed=args.seed, weighting=args.weighting,
         conv=args.conv, data_dir=args.data_dir,
-        dropout_rate=args.dropout_rate, dtype=args.dtype)
+        dropout_rate=args.dropout_rate, dtype=args.dtype,
+        model_shards=getattr(args, "model_shards", 1),
+        d_swap=getattr(args, "d_swap", "ring"))
 
 
 def cmd_run(args) -> int:
@@ -144,10 +152,10 @@ def cmd_run(args) -> int:
             save_scatter_2d(run_dir.file(f"device_{i}.png"), sel)
 
     mesh = None
-    if args.devices:
-        from cglgan_tpu.core.meshes import client_mesh
-        mesh = client_mesh(args.devices)
-        print(f"[tpufed] clients mesh over {args.devices} devices")
+    if args.devices or cfg.model_shards > 1:
+        from cglgan_tpu.core.meshes import fed_mesh
+        mesh = fed_mesh(args.devices or None, cfg.model_shards)
+        print(f"[tpufed] mesh {dict(mesh.shape)}")
     runner = build_runner(cfg, part, mesh=mesh)
     state = runner.init_state()
     if args.resume:

@@ -87,6 +87,11 @@ class FedGANConfig:
     local_sweep: Optional[str] = None  # "batches" | "epochs"; None -> by dataset
     # Discriminator head: "sigmoid" (1-logit + BCE) or "logits2" (2-logit + CE).
     d_head: Optional[str] = None
+    # MD-GAN every-E-rounds D-swap flavour: "ring" (deterministic shift,
+    # TPU-friendly single collective-permute) or "shuffle" (seeded random
+    # permutation per swap event — the reference's commented semantics,
+    # MDGAN/MNIST/mdgan.py:158-164).
+    d_swap: str = "ring"
     conv: bool = False              # use the conv LSGAN G/D pair (model/lsgan.py)
 
     # --- fault simulation (TPU-build extension; SURVEY.md §5 suggests
@@ -97,6 +102,11 @@ class FedGANConfig:
                                 # on every client by construction
 
     # --- runtime ---
+    # tensor parallelism: shard generator weights column-wise over a `model`
+    # mesh axis (SURVEY.md §2.2 — absent in the reference, exposed for
+    # large-G scaling).  1 = off; >1 requires a mesh with a `model` axis of
+    # this size (core.meshes.fed_mesh).
+    model_shards: int = 1
     seed: int = 20211212
     # param/activation dtype; "bfloat16" = +32% rounds/s on v5e (losses and
     # the Lambda game stay float32).  See PERF.md for the 2DMG precision
@@ -126,6 +136,10 @@ class FedGANConfig:
                 "reference protocol blocks on every client's loss each round")
         if not 0.0 <= self.dropout_rate < 1.0:
             raise ValueError("dropout_rate must be in [0, 1)")
+        if self.model_shards < 1:
+            raise ValueError("model_shards must be >= 1")
+        if self.d_swap not in ("ring", "shuffle"):
+            raise ValueError("d_swap must be 'ring' or 'shuffle'")
 
     # ------------------------------------------------------------------
     @property

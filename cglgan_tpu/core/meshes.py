@@ -20,6 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 CLIENTS = "clients"
+MODEL = "model"
 
 
 def client_mesh(n_devices: Optional[int] = None,
@@ -35,6 +36,60 @@ def client_mesh(n_devices: Optional[int] = None,
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (CLIENTS,))
+
+
+def fed_mesh(n_devices: Optional[int] = None, model_shards: int = 1,
+             devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """A (clients, model) mesh: data parallelism over per-client state on the
+    first axis, optional tensor parallelism for large generators on the
+    second (SURVEY.md §2.2).  ``model_shards == 1`` reduces to the 1-D
+    clients mesh."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if model_shards <= 1:
+        return Mesh(np.asarray(devices), (CLIENTS,))
+    if len(devices) % model_shards != 0:
+        raise ValueError(f"{len(devices)} devices not divisible by "
+                         f"model_shards={model_shards}")
+    grid = np.asarray(devices).reshape(-1, model_shards)
+    return Mesh(grid, (CLIENTS, MODEL))
+
+
+def model_shards_of(mesh: Optional[Mesh]) -> int:
+    if mesh is None or MODEL not in mesh.axis_names:
+        return 1
+    return mesh.shape[MODEL]
+
+
+def model_tp_spec(x, mesh: Mesh, lead: int = 0) -> P:
+    """Megatron-style column sharding for one leaf: the last (output) dim of
+    weights and the feature dim of 1-D vectors split over the ``model`` axis
+    when divisible, everything else replicated.  ``lead``: number of leading
+    stacked-federation axes to leave unsharded (e.g. 1 for (S, din, dout)
+    server-stacked generator weights).  XLA/GSPMD inserts the all-gathers
+    between column-sharded layers."""
+    ms = model_shards_of(mesh)
+    if ms <= 1 or x is None:
+        return P()
+    shape = getattr(x, "shape", ())
+    if len(shape) > lead and shape[-1] % ms == 0:
+        return P(*([None] * (len(shape) - 1) + [MODEL]))
+    return P()
+
+
+def place_model_tp(tree, mesh: Optional[Mesh], lead: int = 0):
+    """Place a (possibly server-stacked) generator pytree with Megatron
+    column sharding over the ``model`` axis; identity without a mesh."""
+    if mesh is None or model_shards_of(mesh) <= 1:
+        return jax.tree.map(jnp.asarray, tree)
+
+    def put(x):
+        return jax.device_put(
+            jnp.asarray(x), NamedSharding(mesh, model_tp_spec(x, mesh, lead)))
+
+    return jax.tree.map(put, tree)
 
 
 def client_sharding(mesh: Mesh) -> NamedSharding:

@@ -20,6 +20,7 @@ ROLE_NOISE_G = 4     # latent noise for the G-loss batch (Xg)
 ROLE_BATCH = 5       # real-data minibatch sampling
 ROLE_EVAL = 6        # fixed_z evaluation noise
 ROLE_LOCAL = 7       # local-loop noise (FL-GAN/FeGAN worker G steps)
+ROLE_SWAP = 8        # MD-GAN D-swap shuffle permutation
 
 
 def root_key(seed: int) -> jax.Array:

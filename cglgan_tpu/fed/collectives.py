@@ -66,6 +66,15 @@ def ring_shift_tree(stacked, shift: int = 1):
     return jax.tree.map(lambda x: jnp.roll(x, shift, axis=0), stacked)
 
 
+def permute_tree(stacked, perm):
+    """Permute client state along the leading axis: client i takes member
+    ``perm[i]``'s state.  With ``perm`` drawn fresh per swap event this is
+    the reference's commented D-swap semantics — a random *shuffle* of the
+    received Ds (MDGAN/MNIST/mdgan.py:158-164) — still a single
+    collective-permute on a sharded clients axis."""
+    return jax.tree.map(lambda x: jnp.take(x, perm, axis=0), stacked)
+
+
 def neighbor_share_tree(stacked, group_size: int):
     """Every-E-rounds neighbour D-share: partition the clients axis into
     contiguous groups of ``group_size`` and replace each member with the group

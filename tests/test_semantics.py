@@ -128,3 +128,38 @@ class TestCGLFamilyGossip:
         s1, _ = jax.jit(r.round_fn)(r.init_state())
         d = np.asarray(jax.tree.leaves(s1.d.params)[0])
         assert not np.allclose(d[0, 0], d[0, 1])
+
+
+class TestMDGANDSwapModes:
+    def _d_rows(self, d_swap, E):
+        cfg = cfg_for("mdgan", num_workers=4, E=E, d_swap=d_swap)
+        r = build_runner(cfg)
+        s1, _ = jax.jit(r.round_fn)(r.init_state())
+        leaves = [np.asarray(x).reshape(4, -1)
+                  for x in jax.tree.leaves(s1.d.params)]
+        return np.concatenate(leaves, axis=1)    # (W, all-params)
+
+    def test_shuffle_is_a_permutation_of_the_updated_ds(self):
+        """d_swap='shuffle' (the reference's commented random shuffle,
+        MDGAN/MNIST/mdgan.py:158-164): the post-round D set is exactly a
+        permutation of the E=0 post-round D set."""
+        base = self._d_rows("ring", E=0)          # updated Ds, no swap
+        shuf = self._d_rows("shuffle", E=1)
+        # each shuffled row matches exactly one base row
+        perm = []
+        for i in range(4):
+            hits = [j for j in range(4) if np.allclose(shuf[i], base[j])]
+            assert len(hits) == 1, (i, hits)
+            perm.append(hits[0])
+        assert sorted(perm) == [0, 1, 2, 3]
+
+    def test_ring_is_a_shift(self):
+        base = self._d_rows("ring", E=0)
+        ring = self._d_rows("ring", E=1)
+        np.testing.assert_allclose(ring, np.roll(base, 1, axis=0),
+                                   rtol=1e-6)
+
+    def test_shuffle_deterministic_per_seed(self):
+        a = self._d_rows("shuffle", E=1)
+        b = self._d_rows("shuffle", E=1)
+        np.testing.assert_array_equal(a, b)
