@@ -10,14 +10,35 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
-# Self-measured via `python benchmarks/torch_baseline.py` on this image
+# Fallback if the live measurement fails: self-measured on this image
 # (torch 1-thread CPU, 16 workers, batch 100, CAP-GAN protocol): 4.08 r/s.
-TORCH_CPU_BASELINE_RPS = 4.08
+TORCH_CPU_BASELINE_FALLBACK_RPS = 4.08
+
+
+def measure_baseline_rps(timeout: int = 240) -> tuple:
+    """Measure the torch-CPU thread/queue baseline LIVE in a subprocess (so
+    a silent torch/thread-count env change cannot skew vs_baseline), falling
+    back to the cached constant.  Returns (rps, source)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import sys; sys.path.insert(0, %r); "
+             "from benchmarks.torch_baseline import measure_rounds_per_sec; "
+             "print(measure_rounds_per_sec())" % _HERE],
+            capture_output=True, text=True, timeout=timeout, cwd=_HERE)
+        rps = float(out.stdout.strip().splitlines()[-1])
+        if out.returncode == 0 and rps > 0:
+            return rps, "live"
+    except Exception:
+        pass
+    return TORCH_CPU_BASELINE_FALLBACK_RPS, "cached"
 
 
 def main():
@@ -46,11 +67,14 @@ def main():
     dt = time.perf_counter() - t0
     rps = reps * chunk / dt
 
+    baseline, source = measure_baseline_rps()
     print(json.dumps({
         "metric": "capgan16_mnist_rounds_per_sec",
         "value": round(rps, 2),
         "unit": "federated rounds/sec (16 clients, batch 100)",
-        "vs_baseline": round(rps / TORCH_CPU_BASELINE_RPS, 2),
+        "vs_baseline": round(rps / baseline, 2),
+        "baseline_rps": round(baseline, 3),
+        "baseline_source": source,
     }))
 
 

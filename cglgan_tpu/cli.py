@@ -23,8 +23,9 @@ import sys
 from cglgan_tpu.core.config import ALGOS, DATASETS, FedGANConfig, WEIGHTINGS
 
 
-def _add_run_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("algo", choices=ALGOS)
+def _add_run_args(p: argparse.ArgumentParser, with_algo: bool = True) -> None:
+    if with_algo:
+        p.add_argument("algo", choices=ALGOS)
     p.add_argument("--dataset", default="2dmg", choices=DATASETS)
     p.add_argument("--num-workers", type=int, default=10)
     p.add_argument("--num-servers", type=int, default=1)
@@ -112,6 +113,12 @@ def cfg_from_args(args) -> FedGANConfig:
 
 
 def cmd_run(args) -> int:
+    _execute_run(args)
+    return 0
+
+
+def _execute_run(args) -> dict:
+    """One training run; returns {"run_dir": path, "final": last tick dict}."""
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
@@ -187,7 +194,7 @@ def cmd_run(args) -> int:
     remaining = cfg.num_communication - int(state.t)
     if remaining <= 0:
         print("[tpufed] nothing to do (state already past num_communication)")
-        return 0
+        return {"run_dir": run_dir.path, "final": {}}
 
     if args.profile:
         from cglgan_tpu.utils.profiling import trace
@@ -195,7 +202,7 @@ def cmd_run(args) -> int:
             train(runner, rounds=min(cfg.num_plt, remaining), state=state,
                   evaluator=False)
         print(f"[tpufed] profile written to {run_dir.file('profile')}")
-        return 0
+        return {"run_dir": run_dir.path, "final": {}}
 
     # the single source of eval truth — library callers get the same metrics
     from cglgan_tpu.evalx.evaluator import make_evaluator
@@ -216,7 +223,76 @@ def cmd_run(args) -> int:
     hist = out["history"]
     print(f"[tpufed] done: {int(state.t)} rounds in "
           f"{hist[-1]['wall_s']:.1f}s" if hist else "[tpufed] done")
+    return {"run_dir": run_dir.path, "final": hist[-1] if hist else {}}
+
+
+def cmd_sweep(args) -> int:
+    """Sweep algos x datasets x iid in one invocation — the reference's
+    ``__main__`` loops (CGLGAN/MNIST/main.py:459-535 loops dataset x iid,
+    fegan.py:454-554 likewise) — and emit one comparison table
+    (sweep_summary.xlsx/csv) across all runs."""
+    import copy
+    import time
+
+    from cglgan_tpu.utils.xlsx import write_xlsx
+
+    algos = [a.strip() for a in args.algos.split(",") if a.strip()]
+    datasets = [d.strip() for d in args.datasets.split(",") if d.strip()]
+    iids = [int(x) for x in args.iids.split(",")]
+    for a in algos:
+        if a not in ALGOS:
+            raise SystemExit(f"unknown algo {a!r}")
+    root = os.path.join(
+        args.out, time.strftime("%Y-%m-%d_%H-%M-%S") + "-sweep")
+    os.makedirs(root, exist_ok=True)
+
+    summaries = []
+    for dataset in datasets:
+        for iid in iids:
+            for algo in algos:
+                sub = copy.copy(args)
+                sub.algo, sub.dataset, sub.iid = algo, dataset, iid
+                sub.out = root
+                sub.name = f"{algo}-{dataset}-iid{iid}"
+                if algo == "mdgan" and args.num_servers != 1:
+                    # mdgan has one central generator by definition
+                    sub.num_servers = 1
+                    print(f"[tpufed] {sub.name}: num_servers forced to 1")
+                print(f"[tpufed] === sweep {sub.name} ===")
+                res = _execute_run(sub)
+                row = {"algo": algo, "dataset": dataset, "iid": iid,
+                       "run_dir": res["run_dir"]}
+                row.update({k: v for k, v in res["final"].items()
+                            if isinstance(v, (int, float))})
+                summaries.append(row)
+                # partial table after every run: a crash loses nothing
+                write_xlsx(os.path.join(root, "sweep_summary.xlsx"),
+                           summaries)
+                _write_summary_csv(os.path.join(root, "sweep_summary.csv"),
+                                   summaries)
+
+    cols = [k for k in summaries[0] if k != "run_dir"] if summaries else []
+    print("[tpufed] sweep summary:")
+    print("  " + " | ".join(cols))
+    for row in summaries:
+        print("  " + " | ".join(
+            f"{row.get(c):.4f}" if isinstance(row.get(c), float)
+            else str(row.get(c, "")) for c in cols))
+    print(f"[tpufed] table: {os.path.join(root, 'sweep_summary.xlsx')}")
     return 0
+
+
+def _write_summary_csv(path: str, rows) -> None:
+    import csv
+    fields = []
+    for r in rows:
+        for k in r:
+            if k not in fields:
+                fields.append(k)
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=fields)
+        w.writeheader()
+        w.writerows(rows)
 
 
 def cmd_bench(args) -> int:
@@ -274,6 +350,17 @@ def main(argv=None) -> int:
     prun = sub.add_parser("run", help="train one algorithm")
     _add_run_args(prun)
     prun.set_defaults(fn=cmd_run)
+    psweep = sub.add_parser(
+        "sweep", help="run algos x datasets x iid in one invocation and "
+                      "emit a comparison table (the reference __main__ loops)")
+    _add_run_args(psweep, with_algo=False)
+    psweep.add_argument("--algos", default="cglgan",
+                        help="comma list, e.g. cglgan,capgan,flgan")
+    psweep.add_argument("--datasets", default="2dmg",
+                        help="comma list, e.g. 2dmg,mnist,fashion-mnist")
+    psweep.add_argument("--iids", default="1,2",
+                        help="comma list of iid settings, e.g. 1,2")
+    psweep.set_defaults(fn=cmd_sweep)
     pbench = sub.add_parser("bench", help="run the headline benchmark")
     pbench.set_defaults(fn=cmd_bench)
     peval = sub.add_parser("eval", help="score a saved checkpoint")

@@ -83,16 +83,71 @@ def _glyph_bank(img: int = 28) -> np.ndarray:
     return np.clip(g, 0.0, 1.0)
 
 
+def _soft_rect(xx, yy, x0, x1, y0, y1, sharp: float = 1.5) -> np.ndarray:
+    """Soft-edged axis-aligned rectangle mask in [0, 1]."""
+    s = lambda t: 1.0 / (1.0 + np.exp(-sharp * t))
+    return s(xx - x0) * s(x1 - xx) * s(yy - y0) * s(y1 - yy)
+
+
+def _fashion_glyph_bank(img: int = 28) -> np.ndarray:
+    """10 garment-silhouette templates, structurally DISTINCT from the mnist
+    bank, so the two synthetic workloads are genuinely different datasets
+    (the reference treats MNIST and Fashion-MNIST as separate sweep entries,
+    capgan.py:465-478).  Classes follow the Fashion-MNIST label order:
+    t-shirt, trouser, pullover, dress, coat, sandal, shirt, sneaker, bag,
+    ankle boot."""
+    yy, xx = np.mgrid[0:img, 0:img].astype(np.float32)
+    c = (img - 1) / 2.0
+    R = lambda x0, x1, y0, y1: _soft_rect(xx, yy, x0, x1, y0, y1)
+    g = np.zeros((10, img, img), np.float32)
+    # 0 t-shirt: torso + short sleeves
+    g[0] = np.maximum(R(9, 18, 7, 22), R(4, 23, 7, 12))
+    # 1 trouser: two legs joined at a waistband
+    g[1] = np.maximum.reduce([R(9, 13, 9, 24), R(15, 19, 9, 24),
+                              R(9, 19, 5, 9)])
+    # 2 pullover: wide torso + long sleeves
+    g[2] = np.maximum.reduce([R(8, 19, 6, 22), R(2, 8, 6, 18),
+                              R(19, 25, 6, 18)])
+    # 3 dress: narrow top widening to a skirt (trapezoid)
+    width = 2.0 + (yy - 5.0) * 0.45
+    g[3] = _soft_rect(xx, yy, c - width, c + width, 5, 24)
+    # 4 coat: long torso, long sleeves, centre opening (dark seam)
+    g[4] = np.maximum.reduce([R(8, 19, 5, 25), R(3, 8, 5, 20),
+                              R(19, 24, 5, 20)]) \
+        * (1.0 - 0.8 * _soft_rect(xx, yy, 12.6, 14.4, 6, 25))
+    # 5 sandal: sole bar + two thin straps
+    g[5] = np.maximum.reduce([R(4, 24, 19, 23), R(7, 10, 10, 19),
+                              R(16, 19, 12, 19)])
+    # 6 shirt: torso + sleeves + collar notch
+    g[6] = np.maximum.reduce([R(9, 18, 7, 23), R(5, 9, 7, 14),
+                              R(18, 22, 7, 14)]) \
+        * (1.0 - 0.7 * _soft_rect(xx, yy, 12, 15, 5, 10))
+    # 7 sneaker: low wedge + thick sole
+    g[7] = np.maximum(R(4, 23, 14, 20) * _soft_rect(xx, yy, 4, 23, 10 +
+                                                    (23 - xx) * 0.3, 20),
+                      R(4, 23, 20, 23))
+    # 8 bag: body + handle arc
+    r_h = np.sqrt((xx - c) ** 2 + (yy - 8.0) ** 2)
+    g[8] = np.maximum(R(6, 21, 11, 23),
+                      np.exp(-((r_h - 5.0) ** 2) / 2.0) * (yy < 11))
+    # 9 ankle boot: L-shaped shaft + foot
+    g[9] = np.maximum(R(8, 14, 5, 21), R(8, 23, 15, 21))
+    return np.clip(g, 0.0, 1.0)
+
+
 def synthetic_mnist(n: int = 60000, num_class: int = 10, img: int = 28,
-                    seed: int = 20211212,
-                    backend: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
+                    seed: int = 20211212, backend: str = "auto",
+                    family: str = "mnist") -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic label-conditioned glyph dataset, uint8 (n, img, img).
 
     ``backend``: "native" (C++ dataplane, ~50x faster), "numpy", or "auto"
     (native when built, else numpy).  Each backend is deterministic per seed
     but their RNG streams differ — pin a backend for bit-reproducibility.
+    ``family``: "mnist" (digit-ish glyphs) or "fashion" (garment
+    silhouettes) — two structurally distinct workloads, like the reference's
+    two sweep datasets.  The native backend generates the mnist bank only.
     """
-    if backend in ("auto", "native"):
+    if backend in ("auto", "native") and family == "mnist":
         try:
             from cglgan_tpu.data import native
             imgs, labels = native.synth_glyphs(n, img, num_class, seed)
@@ -102,7 +157,8 @@ def synthetic_mnist(n: int = 60000, num_class: int = 10, img: int = 28,
                 raise
     rng = np.random.default_rng(seed)
     labels = rng.integers(0, num_class, size=n)
-    bank = _glyph_bank(img)[:num_class]
+    bank = (_fashion_glyph_bank(img) if family == "fashion"
+            else _glyph_bank(img))[:num_class]
     shifts_x = rng.integers(-2, 3, size=n)
     shifts_y = rng.integers(-2, 3, size=n)
     gains = rng.uniform(0.75, 1.0, size=n).astype(np.float32)
@@ -129,12 +185,13 @@ def load_image_dataset(name: str, data_dir: Optional[str] = None,
     sorted — partition() sorts internally for iid != 0, so ordering here is
     irrelevant; we return whatever the source gives.
     """
+    family = "fashion" if name == "fashion-mnist" else "mnist"
     if name == "synthetic-mnist" or data_dir is None:
-        return synthetic_mnist(seed=seed)
+        return synthetic_mnist(seed=seed, family=family)
     sub = {"mnist": "mnist", "fashion-mnist": "fashion-mnist"}.get(name, name)
     for cand in (os.path.join(data_dir, sub), data_dir):
         try:
             return load_idx_dataset(cand)
         except FileNotFoundError:
             continue
-    return synthetic_mnist(seed=seed)
+    return synthetic_mnist(seed=seed, family=family)

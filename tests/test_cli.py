@@ -46,9 +46,31 @@ class TestCLI:
                        "--devices", "8",
                        "--out", str(tmp_path), "--name", "t2"])
         assert out.returncode == 0, out.stderr[-2000:]
-        assert "clients mesh over 8 devices" in out.stdout
+        assert "mesh {'clients': 8}" in out.stdout
 
     def test_bad_args(self):
         out = run_cli(["run", "nope"], timeout=60)
         assert out.returncode != 0
         assert "invalid choice" in out.stderr
+
+    def test_sweep_emits_comparison_table(self, tmp_path):
+        """tpufed sweep = the reference __main__ dataset x iid loops
+        (CGLGAN/MNIST/main.py:459-535) in one command, with a summary
+        table across runs."""
+        out = run_cli(["sweep", "--algos", "flgan,mdgan",
+                       "--datasets", "2dmg", "--iids", "1,2",
+                       "--num-workers", "4", "--num-class", "4",
+                       "--num-sample", "64", "--batch-size", "16",
+                       "--rounds", "4", "--num-plt", "4",
+                       "--ckpt-every", "0", "--platform", "cpu",
+                       "--out", str(tmp_path)])
+        assert out.returncode == 0, out.stderr[-2000:]
+        roots = list(tmp_path.glob("*-sweep"))
+        assert len(roots) == 1
+        root = roots[0]
+        assert (root / "sweep_summary.xlsx").exists()
+        rows = (root / "sweep_summary.csv").read_text().strip().split("\n")
+        assert len(rows) == 1 + 4        # header + 2 algos x 2 iids
+        for name in ("flgan-2dmg-iid1", "mdgan-2dmg-iid2"):
+            assert (root / name / "metrics.jsonl").exists()
+        assert "sweep summary" in out.stdout

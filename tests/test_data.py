@@ -100,3 +100,23 @@ class TestSyntheticMNIST:
         for a in range(10):
             for b in range(a + 1, 10):
                 assert np.abs(means[a] - means[b]).mean() > 5.0
+
+
+class TestFashionGlyphs:
+    def test_fashion_bank_distinct_from_mnist(self):
+        """fashion-mnist's synthetic stand-in is a DIFFERENT workload from
+        mnist's (the reference sweeps them as two datasets,
+        capgan.py:465-478)."""
+        from cglgan_tpu.data.mnist import (_fashion_glyph_bank, _glyph_bank,
+                                           load_image_dataset)
+        fb, mb = _fashion_glyph_bank(), _glyph_bank()
+        diff = np.abs(fb - mb).mean(axis=(1, 2))
+        assert (diff > 0.05).all()
+        m, _ = load_image_dataset("mnist", None)
+        f, fl = load_image_dataset("fashion-mnist", None)
+        assert m.shape == f.shape == (60000, 28, 28)
+        assert not np.array_equal(m, f)
+        # deterministic and label-conditioned
+        f2, fl2 = load_image_dataset("fashion-mnist", None)
+        np.testing.assert_array_equal(f, f2)
+        np.testing.assert_array_equal(fl, fl2)
