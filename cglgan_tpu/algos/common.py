@@ -140,6 +140,42 @@ def adam(cfg) -> optax.GradientTransformation:
     return optax.adam(cfg.lr_g, b1=cfg.b1, b2=cfg.b2, eps=1e-8)
 
 
+def adam_inline(lr: float, b1: float = 0.9, b2: float = 0.999,
+                eps: float = 1e-8) -> optax.GradientTransformation:
+    """optax.adam-equivalent with one fused tree pass and scalar bias
+    corrections — bit-identical update math, fewer intermediate trees.
+    Measured against optax.adam in benchmarks/adam_fusion_probe.py."""
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count          # int exponent, like optax's
+        c2 = 1.0 - b2 ** count          # bias_correction
+
+
+        def one(g, mu, nu):
+            # op order matches optax.scale_by_adam + scale(-lr) exactly
+            # (bit-identical trajectories; benchmarks/adam_fusion_probe.py)
+            mu2 = b1 * mu + (1 - b1) * g
+            nu2 = b2 * nu + (1 - b2) * (g * g)
+            upd = -lr * ((mu2 / c1) / (jnp.sqrt(nu2 / c2) + eps))
+            return upd, mu2, nu2
+
+        out = jax.tree.map(one, grads, state.mu, state.nu)
+        treedef = jax.tree.structure(grads)
+        flat = treedef.flatten_up_to(out)
+        upds = treedef.unflatten([t[0] for t in flat])
+        mus = treedef.unflatten([t[1] for t in flat])
+        nus = treedef.unflatten([t[2] for t in flat])
+        return upds, optax.ScaleByAdamState(count=count, mu=mus, nu=nus)
+
+    return optax.GradientTransformation(init, update)
+
+
 def adam_d(cfg) -> optax.GradientTransformation:
     return optax.adam(cfg.lr_d, b1=cfg.b1, b2=cfg.b2, eps=1e-8)
 

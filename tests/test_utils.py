@@ -110,3 +110,41 @@ class TestIdxLoader:
     def test_missing(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             load_idx_dataset(str(tmp_path))
+
+
+class TestAdamInline:
+    def test_bit_identical_to_optax(self):
+        """common.adam_inline shares optax.adam's exact op order — updates
+        must match bit-for-bit (benchmarks/adam_fusion_probe.py measures the
+        same over 1200 jitted rounds on TPU)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import optax
+
+        from cglgan_tpu.algos.common import adam_inline
+
+        p = {"w": jnp.linspace(-1, 1, 32).reshape(8, 4), "b": jnp.arange(4.0)}
+        ta = optax.adam(2e-4, b1=0.5, b2=0.999)
+        tb = adam_inline(2e-4, 0.5, 0.999)
+
+        def mk_step(tx):
+            @jax.jit
+            def step(p, s, g):
+                u, s2 = tx.update(g, s, p)
+                return optax.apply_updates(p, u), s2
+            return step
+
+        step_a, step_b = mk_step(ta), mk_step(tb)
+        sa, sb = ta.init(p), tb.init(p)
+        pa = pb = p
+        key = jax.random.key(0)
+        for i in range(7):
+            key, sub = jax.random.split(key)
+            g = jax.tree.map(
+                lambda x: jax.random.normal(sub, x.shape) * 0.1, p)
+            pa, sa = step_a(pa, sa, g)
+            pb, sb = step_b(pb, sb, g)
+        for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-7, atol=0)
