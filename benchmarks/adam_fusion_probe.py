@@ -95,8 +95,8 @@ def main():
     for a, b in zip(jax.tree.leaves(s0.g.params), jax.tree.leaves(s1.g.params)):
         max_diff = max(max_diff, float(np.abs(np.asarray(a)
                                               - np.asarray(b)).max()))
-    print(f"v1 vs v0 max param diff after {5 * 200} warm+{chunk} rounds: "
-          f"{max_diff:.3e}")
+    print(f"v1 vs v0 max param diff after {chunk} warmup + {5 * chunk} "
+          f"measured rounds: {max_diff:.3e}")
 
 
 if __name__ == "__main__":

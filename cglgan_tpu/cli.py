@@ -338,7 +338,8 @@ def cmd_eval(args) -> int:
         cfg, part, eval_n=args.n,
         fid_stats=getattr(args, "fid_stats", None),
         inception_weights=getattr(args, "inception_weights", None))
-    report.update(evaluator(runner, state))
+    # reuse the samples already drawn for the artifact (same fixed-z draw)
+    report.update(evaluator(runner, state, samples=samples))
     print(json.dumps(report))
     return 0
 

@@ -87,10 +87,11 @@ class FedGANConfig:
     local_sweep: Optional[str] = None  # "batches" | "epochs"; None -> by dataset
     # Discriminator head: "sigmoid" (1-logit + BCE) or "logits2" (2-logit + CE).
     d_head: Optional[str] = None
-    # MD-GAN every-E-rounds D-swap flavour: "ring" (deterministic shift,
-    # TPU-friendly single collective-permute) or "shuffle" (seeded random
-    # permutation per swap event — the reference's commented semantics,
-    # MDGAN/MNIST/mdgan.py:158-164).
+    # MD-GAN every-E-rounds D-swap flavour: "ring" (deterministic shift —
+    # a point-to-point collective-permute on a sharded clients axis) or
+    # "shuffle" (seeded random permutation per swap event — the reference's
+    # commented semantics, MDGAN/MNIST/mdgan.py:158-164; multi-chip it
+    # lowers to an all-gather since the permutation is data-dependent).
     d_swap: str = "ring"
     conv: bool = False              # use the conv LSGAN G/D pair (model/lsgan.py)
 
@@ -138,6 +139,12 @@ class FedGANConfig:
             raise ValueError("dropout_rate must be in [0, 1)")
         if self.model_shards < 1:
             raise ValueError("model_shards must be >= 1")
+        if self.model_shards > 1 and self.algo not in ("cglgan", "capgan",
+                                                       "mixgan"):
+            raise ValueError(
+                "model_shards > 1 (tensor parallelism) is wired into the "
+                "CGL-family generator placement only; other algos would "
+                "silently leave the model axis idle")
         if self.d_swap not in ("ring", "shuffle"):
             raise ValueError("d_swap must be 'ring' or 'shuffle'")
 

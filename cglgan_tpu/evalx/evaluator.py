@@ -39,8 +39,9 @@ def make_evaluator(cfg, part, eval_n: Optional[int] = None,
         pool = jnp.asarray(part.eval_pool)
         n = eval_n if eval_n is not None else cfg.num_sample
 
-        def evaluate(runner, state) -> Dict[str, float]:
-            samples = runner.sample(state, n)
+        def evaluate(runner, state, samples=None) -> Dict[str, float]:
+            if samples is None:
+                samples = runner.sample(state, n)
             kl, ds = kl_and_distribution_score(samples, pool, bins)
             return {"kl_score": float(kl),
                     "distribution_score": float(ds),
@@ -56,12 +57,15 @@ def make_evaluator(cfg, part, eval_n: Optional[int] = None,
     n = eval_n if eval_n is not None else 100    # reference subsample size
 
     if inception_weights:
-        from cglgan_tpu.evalx.inception import (inception_extractor,
+        from cglgan_tpu.evalx.inception import (POOL3_DIM,
+                                                inception_extractor,
                                                 load_inception_weights)
         extractor = inception_extractor(load_inception_weights(
             inception_weights))
+        feat_dim = POOL3_DIM
     else:
         extractor = conv_feature_extractor(side)
+        feat_dim = 256
 
     # IS always needs a class-posterior model over the workload's classes;
     # the pool3 extractor has no class head, so the probe serves both setups
@@ -73,14 +77,21 @@ def make_evaluator(cfg, part, eval_n: Optional[int] = None,
     if fid_stats:
         from cglgan_tpu.evalx.inception import load_fid_stats
         mu_r, cov_r = load_fid_stats(fid_stats)
+        if mu_r.shape[0] != feat_dim:
+            raise ValueError(
+                f"--fid-stats has {mu_r.shape[0]}-d features but the active "
+                f"extractor ({'inception-pool3' if inception_weights else 'proxy-conv'}) "
+                f"emits {feat_dim}-d — pass matching stats (pool3 stats "
+                "require --inception-weights)")
     else:
         real = (part.eval_pool[:n].astype(np.float32) / 255.0 - 0.5) / 0.5
         real = real.reshape(-1, 1, side, side)
         mu_r, cov_r = activation_stats(extractor, real)
 
-    def evaluate(runner, state) -> Dict[str, float]:
-        gen = np.asarray(runner.sample(state, n)).reshape(
-            -1, 1, side, side)[:n]
+    def evaluate(runner, state, samples=None) -> Dict[str, float]:
+        if samples is None:
+            samples = runner.sample(state, n)
+        gen = np.asarray(samples).reshape(-1, 1, side, side)[:n]
         mu_g, cov_g = activation_stats(extractor, gen)
         return {"fid": frechet_distance(mu_g, cov_g, mu_r, cov_r),
                 "inception_score": inception_score(probe, gen, cfg.num_class)}

@@ -69,15 +69,18 @@ def classifier_probe(images_u8: np.ndarray, labels: np.ndarray,
     """Train a small CNN classifier on the real data; its penultimate layer is
     the FID feature space and its softmax the IS class model.  Returns an
     Extractor whose apply gives (features, logits) concatenated —
-    use ``split_probe_output``."""
+    use ``split_probe_output``.  Works for any square image side (the two
+    stride-2 convs flatten to 64*(side//4)^2)."""
     import optax
 
+    side = int(images_u8.shape[-1])
+    flat = 64 * (side // 4) ** 2
     key = jax.random.key(seed)
     ks = jax.random.split(key, 5)
     params = {
         "c0": fnn.conv_init(ks[0], 1, 32, 3),
         "c1": fnn.conv_init(ks[1], 32, 64, 3),
-        "l0": fnn.linear_init(ks[2], 64 * 7 * 7, 128),
+        "l0": fnn.linear_init(ks[2], flat, 128),
         "l1": fnn.linear_init(ks[3], 128, num_class),
     }
 
@@ -133,10 +136,20 @@ def _features(apply, params, images):
     return apply(params, images)
 
 
-def activation_stats(extractor: Extractor, images) -> Tuple[np.ndarray, np.ndarray]:
-    """images: float NCHW in [-1, 1].  Returns (mu, cov) on host."""
-    f = np.asarray(_features(extractor.apply, extractor.params,
-                             jnp.asarray(images)))
+def activation_stats(extractor: Extractor, images,
+                     batch: int = 100) -> Tuple[np.ndarray, np.ndarray]:
+    """images: float NCHW in [-1, 1].  Returns (mu, cov) on host.
+
+    Features are extracted in ``batch``-sized minibatches (the reference's
+    own tick size, FLGAN/MNIST/flgan.py:89) so large eval pools don't
+    materialise e.g. (N, 3, 299, 299) Inception activations at once."""
+    images = jnp.asarray(images)
+    n = images.shape[0]
+    chunks = []
+    for i in range(0, n, batch):
+        chunks.append(np.asarray(_features(
+            extractor.apply, extractor.params, images[i:i + batch])))
+    f = np.concatenate(chunks, axis=0)
     mu = f.mean(0)
     cov = np.cov(f, rowvar=False)
     return mu, cov

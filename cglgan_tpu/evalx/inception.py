@@ -294,6 +294,9 @@ def preprocess(images) -> jax.Array:
         x = x[:, None]
     if x.shape[1] == 1:
         x = jnp.broadcast_to(x, (x.shape[0], 3) + x.shape[2:])
+    if x.shape[1] != 3:
+        raise ValueError(f"expected 1- or 3-channel NCHW images, got "
+                         f"channel count {x.shape[1]}")
     return jax.image.resize(x, (x.shape[0], 3, 299, 299), method="bilinear")
 
 

@@ -70,8 +70,13 @@ def permute_tree(stacked, perm):
     """Permute client state along the leading axis: client i takes member
     ``perm[i]``'s state.  With ``perm`` drawn fresh per swap event this is
     the reference's commented D-swap semantics — a random *shuffle* of the
-    received Ds (MDGAN/MNIST/mdgan.py:158-164) — still a single
-    collective-permute on a sharded clients axis."""
+    received Ds (MDGAN/MNIST/mdgan.py:158-164).
+
+    Multi-chip cost note: because ``perm`` is a traced, data-dependent
+    array, GSPMD lowers this gather to an all-gather of the stacked tree
+    over the sharded axis, NOT a point-to-point collective-permute.  The
+    deterministic ring shift (``ring_shift_tree``) is the TPU-friendly swap;
+    choose shuffle for reference-semantics fidelity."""
     return jax.tree.map(lambda x: jnp.take(x, perm, axis=0), stacked)
 
 

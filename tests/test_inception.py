@@ -85,6 +85,36 @@ class TestEvaluatorUnification:
         assert "fid" in tick and np.isfinite(tick["fid"])
         assert "inception_score" in tick and tick["inception_score"] >= 1.0
 
+    def test_conv_config_evaluator(self):
+        """Regression: the probe classifier must size its flatten layer from
+        the data side (conv configs run at 32x32, not 28x28)."""
+        from cglgan_tpu.algos.registry import build_runner
+        from cglgan_tpu.core.config import FedGANConfig
+        from cglgan_tpu.evalx.evaluator import make_evaluator
+
+        cfg = FedGANConfig(algo="mdgan", dataset="synthetic-mnist",
+                           conv=True, num_workers=2, num_servers=1,
+                           num_class=4, num_sample=64, batch_size=8)
+        r = build_runner(cfg)
+        ev = make_evaluator(cfg, r.part, eval_n=8, probe_steps=2)
+        m = ev(r, r.init_state())
+        assert np.isfinite(m["fid"]) and m["inception_score"] >= 1.0
+
+    def test_fid_stats_dim_mismatch_fails_fast(self, tmp_path):
+        from cglgan_tpu.algos.registry import build_runner
+        from cglgan_tpu.core.config import FedGANConfig
+        from cglgan_tpu.evalx.evaluator import make_evaluator
+
+        path = str(tmp_path / "pool3.npz")
+        save_fid_stats(path, np.zeros(2048), np.eye(2048))
+        cfg = FedGANConfig(algo="capgan", dataset="synthetic-mnist",
+                           num_workers=2, num_servers=1, num_class=4,
+                           num_sample=64, batch_size=8)
+        r = build_runner(cfg)
+        with pytest.raises(ValueError, match="2048-d"):
+            make_evaluator(cfg, r.part, eval_n=8, probe_steps=1,
+                           fid_stats=path)
+
     def test_train_2dmg_metrics_and_absolute_round(self):
         from cglgan_tpu.algos.registry import build_runner
         from cglgan_tpu.algos.runner import train
