@@ -96,7 +96,7 @@ def eval_z(root, cfg):
     from cglgan_tpu.core import prng
 
     n, zdim, S = cfg.num_sample, cfg.latent_dim, cfg.num_servers
-    if cfg.algo in ("cglgan", "capgan", "mixgan"):
+    if cfg.algo in ("cglgan", "capgan", "mixgan", "mdgan", "acgan"):
         per = max(n // S, 1)
         return np.stack([
             np.asarray(jax.random.normal(
@@ -283,6 +283,70 @@ class TorchCGLTwin:
         return np.concatenate(outs, axis=0)
 
 
+class TorchMDGANTwin:
+    """The reference MD-GAN 2DMG protocol in eager torch
+    (MDGAN/2DMG/mdgan.py:108-280): central G makes Xd (detached) + Xg;
+    every worker trains its own D ``epoch`` steps on (real, Xd); the server
+    means the workers' BCE(D_i(Xg), 1) losses through the UPDATED Ds,
+    backprops and steps Adam."""
+
+    def __init__(self, cfg, part, jax_state):
+        torch = self.torch = _torch()
+        import torch.nn as tnn
+        self.cfg = cfg
+        self.W = cfg.num_workers
+        self.B = cfg.batch_size
+        self.shards = np.asarray(part.data)
+        self.bce = tnn.BCELoss()
+
+        # central G: 2dmg-mlp 100-256-128-2 (MDGAN/2DMG/model.py:5-20);
+        # jax state stacks it on a leading servers axis of size 1
+        self.G = _t_flgan_g(torch)
+        gp = jax_state.g.params
+        lins = [m for m in self.G if m.__class__.__name__ == "Linear"]
+        for m, p in zip(lins, [x for x in gp
+                               if isinstance(x, dict) and "w" in x]):
+            _copy_linear(torch, m, {k: np.asarray(v)[0]
+                                    for k, v in p.items()})
+        self.optG = torch.optim.Adam(self.G.parameters(), lr=cfg.lr_g,
+                                     betas=(cfg.b1, cfg.b2))
+        dp = jax_state.d.params
+        self.D, self.optD = [], []
+        for i in range(self.W):
+            d = _t_2dmg_d(torch)
+            _copy_seq_d(torch, d, [
+                None if x is None else
+                {k: np.asarray(v)[0, i] for k, v in x.items()} for x in dp])
+            self.D.append(d)
+            self.optD.append(torch.optim.Adam(
+                d.parameters(), lr=cfg.lr_d, betas=(cfg.b1, cfg.b2)))
+
+    def round(self, t, starts, z_d, z_g):
+        torch, cfg = self.torch, self.cfg
+        valid = torch.ones(self.B, 1)
+        fake_t = torch.zeros(self.B, 1)
+        xd = self.G(torch.from_numpy(z_d[0])).detach()
+        for i in range(self.W):
+            d, optd = self.D[i], self.optD[i]
+            for e in range(cfg.epoch):
+                st = int(starts[e])
+                real = torch.from_numpy(self.shards[i, st:st + self.B].copy())
+                loss = self.bce(d(real), valid) + self.bce(d(xd), fake_t)
+                optd.zero_grad()
+                loss.backward()
+                optd.step()
+        xg = self.G(torch.from_numpy(z_g[0]))
+        g_loss = torch.stack(
+            [self.bce(self.D[i](xg), valid) for i in range(self.W)]).mean()
+        self.optG.zero_grad()
+        g_loss.backward()
+        self.optG.step()
+
+    def sample(self, zs):
+        with self.torch.no_grad():
+            return self.G(self.torch.from_numpy(zs[0].copy())).numpy()
+
+
 class TorchFLGANTwin:
     """The reference FL-GAN 2DMG protocol in eager torch
     (FLGAN/2DMG/flgan.py:107-258): broadcast -> local D/G sweeps with
@@ -387,6 +451,10 @@ def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
     if algo == "cglgan":
         twin = TorchCGLTwin(cfg, part, state)
         streams = cgl_round_streams(root, cfg, max_len)
+    elif algo == "mdgan":
+        # same per-round draw sequence as the CGL family (S=1)
+        twin = TorchMDGANTwin(cfg, part, state)
+        streams = cgl_round_streams(root, cfg, max_len)
     elif algo == "flgan":
         twin = TorchFLGANTwin(cfg, part, state)
         streams = flgan_round_streams(root, cfg, max_len)
@@ -396,6 +464,7 @@ def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
     zs = eval_z(root, cfg)
     pool = jnp.asarray(part.eval_pool)
     round_jit = jax.jit(runner.round_fn)
+    bins = 32 if algo == "mdgan" else 16   # the production eval bin counts
 
     out = []
     for t in range(rounds):
@@ -405,8 +474,9 @@ def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
         if (t + 1) % tick == 0:
             s_j = runner.sample(state, cfg.num_sample)
             s_t = twin.sample(zs)
-            kl_j, ds_j = kl_and_distribution_score(s_j, pool)
-            kl_t, ds_t = kl_and_distribution_score(jnp.asarray(s_t), pool)
+            kl_j, ds_j = kl_and_distribution_score(s_j, pool, bins)
+            kl_t, ds_t = kl_and_distribution_score(jnp.asarray(s_t), pool,
+                                                   bins)
             out.append({"round": t + 1,
                         "kl_jax": float(kl_j), "ds_jax": float(ds_j),
                         "kl_torch": float(kl_t), "ds_torch": float(ds_t),
@@ -416,7 +486,8 @@ def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
 
 
 def main():
-    for algo, rounds, tick in (("cglgan", 400, 50), ("flgan", 400, 50)):
+    for algo, rounds, tick in (("cglgan", 400, 50), ("flgan", 400, 50),
+                               ("mdgan", 400, 50)):
         print(f"== {algo}: {rounds} rounds, tick {tick} ==")
         kw = {"num_workers": 4, "num_servers": 2, "cloud_epoch": 2} \
             if algo == "cglgan" else {"num_workers": 4}

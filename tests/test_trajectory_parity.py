@@ -26,6 +26,13 @@ class TestTrajectoryParity:
         # the comparison is meaningful: training moved the metrics
         assert rows[-1]["ds_jax"] > 0.0
 
+    def test_mdgan_150_rounds(self):
+        rows = run_compare("mdgan", 150, 75, num_workers=4)
+        for r in rows:
+            assert r["samples_rmse"] < 5e-3, r
+            assert abs(r["kl_jax"] - r["kl_torch"]) < 0.1, r
+            assert abs(r["ds_jax"] - r["ds_torch"]) < 0.03, r
+
     def test_flgan_150_rounds(self):
         rows = run_compare("flgan", 150, 75, num_workers=4)
         assert len(rows) == 2
