@@ -93,6 +93,9 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
                          d_loss_half, fuse_concat=not cfg.conv, dtype=dtype),
         cfg.epoch)
 
+    from cglgan_tpu.ops.pallas import fused_dstep
+    use_kernel = fused_dstep.eligible(cfg, mesh)
+
     def init_state():
         def init_g(kk):
             p, b = g_model.init(kk, dtype)
@@ -211,6 +214,59 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
         return NetState(new_params, new_bn, g.opt)
 
     max_len = part.data.shape[1]
+    W = S * k
+
+    def kernel_round(state: FedState, g: NetState, starts, keys):
+        """Same protocol with the local-D phase in the fused Pallas kernel
+        (ops/pallas/fused_dstep.py): identical PRNG value draws, float-
+        tolerance numerics."""
+        def gen_xd(gp, gbn, kk):
+            k_zd, k_zg, _k_d, k_drop = jax.random.split(kk, 4)
+            z_d = jax.random.normal(k_zd, (B, zdim), dtype)
+            xd, gbn1 = g_model.apply(gp, gbn, z_d, train=True)
+            return jax.lax.stop_gradient(xd), gbn1, k_zg, k_drop
+
+        xd, gbn1, k_zg, k_drop = jax.vmap(gen_xd)(g.params, g.bn, keys)
+        din = int(np.prod(cfg.img_shape)) if cfg.is_image else 2
+        if multipath:       # head i's batch -> client i (S,k,B,...) flat
+            fake_flat = xd.reshape(W, B, din)
+        else:               # full batch to every client of the server
+            fake_flat = jnp.broadcast_to(
+                xd.reshape(S, 1, B, din), (S, k, B, din)).reshape(W, B, din)
+        d_flat = NetState(*jax.tree.map(
+            lambda x: x.reshape((W,) + x.shape[2:]), tuple(state.d)))
+        new_d_flat, d_loss = fused_dstep.kernel_d_phase(
+            d_flat, shards.reshape(W, max_len, -1), starts, fake_flat, cfg,
+            fake_per_client=True)
+        new_d = NetState(*jax.tree.map(
+            lambda x: x.reshape((S, k) + x.shape[1:]), tuple(new_d_flat)))
+
+        def g_step(gp, gbn1_s, gopt, lam, beta_s, d_p, d_bn, kzg, kdrop):
+            z_g = jax.random.normal(kzg, (B, zdim), dtype)
+            d_new = NetState(d_p, d_bn, None)
+            losses_fn = lambda p: per_client_losses(p, gbn1_s, z_g, d_new,
+                                                    kdrop)
+            losses0, pullback, gbn2 = jax.vjp(losses_fn, gp, has_aux=True)
+            game = game_step(weighting, losses0, beta_s, lam, cfg.lr_lambda)
+            if multipath:
+                g_heads = pullback(jnp.ones_like(losses0))[0]
+                g_trunk = pullback(game.w.astype(losses0.dtype))[0]
+                grads = {"trunk": g_trunk["trunk"], "heads": g_heads["heads"]}
+            else:
+                grads = pullback(game.w.astype(losses0.dtype))[0]
+            f_max = jnp.sum(game.w * losses0) - game.lam_coeff * lam
+            up, gopt2 = opt_g.update(grads, gopt, gp)
+            new_g_s = NetState(optax.apply_updates(gp, up), gbn2, gopt2)
+            metrics = {"g_loss": losses0.mean(), "f_max": f_max,
+                       "f_beta": game.f_beta, "f_gamma": game.f_gamma,
+                       "lambda": game.lam_new}
+            return new_g_s, game.lam_new, metrics
+
+        new_g, lam_new, metrics = jax.vmap(g_step)(
+            g.params, gbn1, g.opt, state.lam, beta, new_d.params, new_d.bn,
+            k_zg, k_drop)
+        metrics["d_loss"] = d_loss
+        return new_g, new_d, lam_new, metrics
 
     def round_fn(state: FedState):
         t = state.t
@@ -225,9 +281,13 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
             lambda kk: common.batch_start(kk, max_len, B))(
             jax.random.split(prng.for_role(key, prng.ROLE_BATCH), cfg.epoch))
         keys = jax.random.split(key, S)
-        new_g, new_d, lam_new, metrics = jax.vmap(
-            server_round, in_axes=(0, 0, 0, 0, 0, None, 0))(
-            g, state.d, state.lam, beta, shards, starts, keys)
+        if use_kernel:
+            new_g, new_d, lam_new, metrics = kernel_round(state, g, starts,
+                                                          keys)
+        else:
+            new_g, new_d, lam_new, metrics = jax.vmap(
+                server_round, in_axes=(0, 0, 0, 0, 0, None, 0))(
+                g, state.d, state.lam, beta, shards, starts, keys)
         metrics = jax.tree.map(jnp.mean, metrics)
 
         if cfg.E > 0:

@@ -23,6 +23,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from cglgan_tpu.algos import common, runner as runner_mod
@@ -62,6 +63,9 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
         common.d_step_fn(d_model, adv, opt_d, B, cfg.is_image,
                          d_loss_half=False, fuse_concat=not cfg.conv, dtype=dtype),
         cfg.epoch)
+
+    from cglgan_tpu.ops.pallas import fused_dstep
+    use_kernel = fused_dstep.eligible(cfg, mesh)
 
     def init_state():
         gp, gbn, gopt = jax.vmap(
@@ -120,6 +124,54 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
                               "g_loss": g_loss}
 
     max_len = part.data.shape[1]
+    W = S * k
+
+    def kernel_round(state: FedState, starts, keys):
+        """Same protocol with the local-D phase in the fused Pallas kernel
+        (ops/pallas/fused_dstep.py): identical PRNG value draws, float-
+        tolerance numerics.  Requires dropout == 0 (uniform Adam counts)."""
+        def gen_xd(gp, gbn, kk):
+            k_zd, k_zg, _k_d, k_drop = jax.random.split(kk, 4)
+            z_d = jax.random.normal(k_zd, (B, zdim), dtype)
+            xd, gbn1 = g_model.apply(gp, gbn, z_d, train=True)
+            return jax.lax.stop_gradient(xd), gbn1, k_zg, k_drop
+
+        xd, gbn1, k_zg, k_drop = jax.vmap(gen_xd)(
+            state.g.params, state.g.bn, keys)
+        din = int(np.prod(cfg.img_shape)) if cfg.is_image else 2
+        fake_flat = jnp.broadcast_to(
+            xd.reshape(S, 1, B, din), (S, k, B, din)).reshape(W, B, din)
+        d_flat = NetState(*jax.tree.map(
+            lambda x: x.reshape((W,) + x.shape[2:]), tuple(state.d)))
+        new_d_flat, d_loss = fused_dstep.kernel_d_phase(
+            d_flat, shards.reshape(W, max_len, -1), starts, fake_flat, cfg,
+            fake_per_client=True)
+        new_d = NetState(*jax.tree.map(
+            lambda x: x.reshape((S, k) + x.shape[1:]), tuple(new_d_flat)))
+
+        def g_step(gp, gbn1_s, gopt, d_p, d_bn, kzg, kdrop):
+            z_g = jax.random.normal(kzg, (B, zdim), dtype)
+            drop_keys = jax.random.split(kdrop, k)
+
+            def g_obj(gp_, gbn_):
+                fake, gbn2 = g_model.apply(gp_, gbn_, z_g, train=True)
+                outs, _ = jax.vmap(
+                    lambda dp, dbn, r: d_model.apply(dp, dbn, fake,
+                                                     train=True, rng=r))(
+                    d_p, d_bn, drop_keys)
+                losses = jax.vmap(lambda o: adv(o, 1.0))(outs)
+                return losses.mean(), (gbn2, losses)
+
+            (g_loss, (gbn2, _)), grads = jax.value_and_grad(
+                g_obj, has_aux=True)(gp, gbn1_s)
+            up, gopt2 = opt_g.update(grads, gopt, gp)
+            return NetState(optax.apply_updates(gp, up), gbn2, gopt2), g_loss
+
+        new_g, g_loss = jax.vmap(g_step)(
+            state.g.params, gbn1, state.g.opt, new_d.params, new_d.bn,
+            k_zg, k_drop)
+        metrics = {"d_loss": d_loss.mean(), "g_loss": g_loss.mean()}
+        return new_g, new_d, metrics
 
     def round_fn(state: FedState):
         t = state.t
@@ -128,13 +180,16 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
             lambda kk: common.batch_start(kk, max_len, B))(
             jax.random.split(prng.for_role(key, prng.ROLE_BATCH), cfg.epoch))
         keys = jax.random.split(key, S)
-        mask = common.participation_mask(
-            jax.random.fold_in(key, 7), S * k, cfg.dropout_rate
-        ).reshape(S, k)
-        new_g, new_d, metrics = jax.vmap(
-            server_round, in_axes=(0, 0, 0, None, 0, 0))(
-            state.g, state.d, shards, starts, mask, keys)
-        metrics = jax.tree.map(jnp.mean, metrics)
+        if use_kernel:
+            new_g, new_d, metrics = kernel_round(state, starts, keys)
+        else:
+            mask = common.participation_mask(
+                jax.random.fold_in(key, 7), S * k, cfg.dropout_rate
+            ).reshape(S, k)
+            new_g, new_d, metrics = jax.vmap(
+                server_round, in_axes=(0, 0, 0, None, 0, 0))(
+                state.g, state.d, shards, starts, mask, keys)
+            metrics = jax.tree.map(jnp.mean, metrics)
 
         if cfg.E > 0:
             flat_d = jax.tree.map(

@@ -87,6 +87,11 @@ def _add_run_args(p: argparse.ArgumentParser, with_algo: bool = True) -> None:
     p.add_argument("--model-shards", type=int, default=1,
                    help="tensor-parallel generator shards over a `model` "
                         "mesh axis (must divide --devices; 1 = off)")
+    p.add_argument("--pallas-dstep", default="auto",
+                   choices=("auto", "on", "off"),
+                   help="fused VMEM-resident local-D-epoch kernel "
+                        "(~2.5x rounds at epoch>=2; auto = on when "
+                        "eligible and epoch>1)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of one eval chunk")
 
@@ -109,7 +114,9 @@ def cfg_from_args(args) -> FedGANConfig:
         conv=args.conv, data_dir=args.data_dir,
         dropout_rate=args.dropout_rate, dtype=args.dtype,
         model_shards=getattr(args, "model_shards", 1),
-        d_swap=getattr(args, "d_swap", "ring"))
+        d_swap=getattr(args, "d_swap", "ring"),
+        pallas_dstep={"auto": None, "on": True, "off": False}[
+            getattr(args, "pallas_dstep", "auto")])
 
 
 def cmd_run(args) -> int:

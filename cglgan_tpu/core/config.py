@@ -108,6 +108,12 @@ class FedGANConfig:
     # large-G scaling).  1 = off; >1 requires a mesh with a `model` axis of
     # this size (core.meshes.fed_mesh).
     model_shards: int = 1
+    # fused VMEM-resident local-D-epoch Pallas kernel (ops/pallas/
+    # fused_dstep.py): ~3x the D phase at epoch >= 2 on v5e.  None = auto
+    # (on when eligible and epoch > 1), True = force (errors if the config
+    # is ineligible), False = never.  Float-tolerance parity with the XLA
+    # path (MXU accumulation order differs), not bit parity.
+    pallas_dstep: Optional[bool] = None
     seed: int = 20211212
     # param/activation dtype; "bfloat16" = +32% rounds/s on v5e (losses and
     # the Lambda game stay float32).  See PERF.md for the 2DMG precision

@@ -1,0 +1,137 @@
+"""Fused VMEM-resident D-epoch kernel vs the reference jitted path.
+
+The kernel must reproduce algos.common.d_step_fn(fuse_concat=True) composed
+E times by d_epoch_steps + optax.adam, for both discriminator heads, to
+float tolerance (MXU vs XLA accumulation order)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from cglgan_tpu.algos import common
+from cglgan_tpu.algos.common import NetState
+from cglgan_tpu.models.zoo import build_discriminator
+from cglgan_tpu.ops.pallas.fused_dstep import fused_d_epoch_steps
+
+W, E, B, DIN = 3, 2, 8, 64
+LR, B1, B2 = 2e-4, 0.5, 0.999
+
+
+def _setup(out_dim, seed=0):
+    d = build_discriminator("mnist", out_dim, in_dim=DIN)
+    opt = optax.adam(LR, b1=B1, b2=B2)
+    net = common.init_net_stacked(d, jax.random.key(seed), opt, W)
+    rng = np.random.default_rng(seed)
+    shard = rng.integers(0, 256, size=(W, 32, DIN)).astype(np.uint8)
+    fake = rng.normal(size=(B, DIN)).astype(np.float32)
+    starts = np.asarray([1, 17])[:E]
+    return d, opt, net, jnp.asarray(shard), jnp.asarray(fake), starts
+
+
+def _reference(d, opt, net, shard, fake, starts, head, half):
+    adv = common.make_adv_loss(head)
+    step = common.d_epoch_steps(
+        common.d_step_fn(d, adv, opt, B, is_image=True, d_loss_half=half,
+                         fuse_concat=True), E)
+    key = jax.random.key(9)   # unused by the MLP D (no dropout)
+    new, loss = jax.vmap(step, in_axes=(0, 0, None, None, None))(
+        net, shard, jnp.asarray(starts), fake, key)
+    return new, loss
+
+
+def _unpack(net):
+    """(params, mu, nu, count) as stacked 6-tuples from a stacked NetState."""
+    lin = [p for p in net.params if isinstance(p, dict)]
+    six = (lin[0]["w"], lin[0]["b"], lin[1]["w"], lin[1]["b"],
+           lin[2]["w"], lin[2]["b"])
+    adam_state = net.opt[0]
+    mus = [p for p in adam_state.mu if isinstance(p, dict)]
+    nus = [p for p in adam_state.nu if isinstance(p, dict)]
+    mu6 = (mus[0]["w"], mus[0]["b"], mus[1]["w"], mus[1]["b"],
+           mus[2]["w"], mus[2]["b"])
+    nu6 = (nus[0]["w"], nus[0]["b"], nus[1]["w"], nus[1]["b"],
+           nus[2]["w"], nus[2]["b"])
+    return six, mu6, nu6, adam_state.count
+
+
+@pytest.mark.parametrize("head,out_dim,half", [
+    ("sigmoid", 1, False),          # BCE family (mdgan/acgan/flgan/cgl)
+    ("logits2", 2, True),           # CE family (cap/mix MNIST)
+])
+def test_kernel_matches_reference(head, out_dim, half):
+    d, opt, net, shard, fake, starts = _setup(out_dim)
+    ref_net, ref_loss = _reference(d, opt, net, shard, fake, starts,
+                                   head, half)
+
+    six, mu6, nu6, count = _unpack(net)
+    reals = jnp.stack([shard[:, s:s + B] for s in starts], axis=1)  # (W,E,B,D)
+    new_p, new_mu, new_nu, new_count, losses = fused_d_epoch_steps(
+        six, mu6, nu6, jnp.max(count), reals, fake, head=head,
+        d_loss_half=half, is_image=True, lr=LR, b1=B1, b2=B2,
+        interpret=True)
+
+    ref_six, ref_mu6, ref_nu6, ref_count = _unpack(ref_net)
+    for a, b in zip(new_p, ref_six):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(new_mu, ref_mu6):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(new_nu, ref_nu6):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref_loss),
+                               rtol=1e-5, atol=1e-7)
+    assert int(new_count) == int(np.max(np.asarray(ref_count)))
+
+
+class TestKernelIntegration:
+    """The families' kernel rounds must match the baseline rounds with
+    identical PRNG draws (float tolerance: interpreter vs XLA)."""
+
+    def _compare(self, algo, **kw):
+        from cglgan_tpu.algos.registry import build_runner, load_partition
+        from cglgan_tpu.core.config import FedGANConfig
+
+        base = dict(algo=algo, dataset="2dmg", num_workers=4, num_class=4,
+                    num_sample=64, batch_size=16, iid=1, epoch=2,
+                    num_communication=4, **kw)
+        cfg_k = FedGANConfig(**base)
+        assert cfg_k.pallas_dstep is None       # auto engages at epoch > 1
+        cfg_b = FedGANConfig(pallas_dstep=False, **base)
+        part = load_partition(cfg_k)
+        rk, rb = build_runner(cfg_k, part), build_runner(cfg_b, part)
+        sk, sb = rk.init_state(), rb.init_state()
+        fk, fb = jax.jit(rk.round_fn), jax.jit(rb.round_fn)
+        for _ in range(2):
+            sk, mk = fk(sk)
+            sb, mb = fb(sb)
+        for a, b in zip(jax.tree.leaves(sk.d.params),
+                        jax.tree.leaves(sb.d.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(sk.g.params),
+                        jax.tree.leaves(sb.g.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+        for key in mk:
+            assert abs(float(mk[key]) - float(mb[key])) < 1e-4, key
+
+    def test_mdgan_round_matches_baseline(self):
+        self._compare("mdgan")
+
+    def test_cglgan_round_matches_baseline(self):
+        self._compare("cglgan", num_servers=2)
+
+    def test_capgan_round_matches_baseline(self):
+        self._compare("capgan")
+
+    def test_force_flag_rejects_ineligible(self):
+        from cglgan_tpu.algos.registry import build_runner
+        from cglgan_tpu.core.config import FedGANConfig
+        cfg = FedGANConfig(algo="mdgan", dataset="2dmg", num_workers=4,
+                           num_class=4, num_sample=64, batch_size=16,
+                           dropout_rate=0.3, pallas_dstep=True)
+        with pytest.raises(ValueError, match="pallas_dstep"):
+            build_runner(cfg)
