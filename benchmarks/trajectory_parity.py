@@ -142,6 +142,12 @@ def _t_flgan_g(torch):
                           tnn.Linear(128, 2), tnn.Tanh())
 
 
+def _t_small_g(torch):
+    import torch.nn as tnn
+    return tnn.Sequential(tnn.Linear(100, 32), tnn.LeakyReLU(0.2),
+                          tnn.Linear(32, 2), tnn.Tanh())
+
+
 def _t_2dmg_d(torch):
     import torch.nn as tnn
     return tnn.Sequential(tnn.Linear(2, 128), tnn.LeakyReLU(0.2),
@@ -422,6 +428,89 @@ class TorchFLGANTwin:
             return g(torch.from_numpy(zs.copy())).numpy()
 
 
+class TorchFeGANTwin:
+    """The reference FeGAN protocol in eager torch (fegan.py:95-303):
+    balanced group schedule, exp(KL-score) aggregation weights, broadcast ->
+    local sweeps with persistent per-worker Adam state -> score-weighted
+    FedAvg of the sampled group only.  Consumes the SAME host-side schedule
+    and sk scores the jax runner derives from the partition."""
+
+    def __init__(self, cfg, part, jax_state, schedule, sk):
+        torch = self.torch = _torch()
+        import torch.nn as tnn
+        self.cfg = cfg
+        self.W = cfg.num_workers
+        self.B = cfg.batch_size
+        self.shards = np.asarray(part.data)
+        self.schedule = np.asarray(schedule)
+        self.sk = np.asarray(sk, np.float32)
+        self.bce = tnn.BCELoss()
+
+        self.G = [_t_small_g(torch) for _ in range(self.W)]
+        self.D = [_t_2dmg_d(torch) for _ in range(self.W)]
+        gp, dp = jax_state.g.params, jax_state.d.params
+        for w in range(self.W):
+            lins = [m for m in self.G[w]
+                    if m.__class__.__name__ == "Linear"]
+            for m, p in zip(lins, [x for x in gp
+                                   if isinstance(x, dict) and "w" in x]):
+                _copy_linear(torch, m, p)
+            _copy_seq_d(torch, self.D[w], dp)
+        self.optG = [torch.optim.Adam(g.parameters(), lr=cfg.lr_g,
+                                      betas=(cfg.b1, cfg.b2))
+                     for g in self.G]
+        self.optD = [torch.optim.Adam(d.parameters(), lr=cfg.lr_d,
+                                      betas=(cfg.b1, cfg.b2))
+                     for d in self.D]
+        self.g_global = {k: v.clone() for k, v in
+                         self.G[0].state_dict().items()}
+        self.d_global = {k: v.clone() for k, v in
+                         self.D[0].state_dict().items()}
+
+    def round(self, t, starts, z1, z2):
+        torch, cfg = self.torch, self.cfg
+        group = self.schedule[t]
+        mask = np.zeros(self.W, np.float32)
+        mask[group] = 1.0
+        wts = np.exp(self.sk) * mask
+        wts = wts / max(wts.sum(), 1e-12)
+        valid = torch.ones(self.B, 1)
+        fake_t = torch.zeros(self.B, 1)
+        for w in np.unique(group):
+            g, d = self.G[w], self.D[w]
+            with torch.no_grad():
+                g.load_state_dict(self.g_global)
+                d.load_state_dict(self.d_global)
+            for i in range(cfg.epoch):
+                st = int(starts[i])
+                real = torch.from_numpy(self.shards[w, st:st + self.B].copy())
+                fake = g(torch.from_numpy(z1[w, i])).detach()
+                d_loss = self.bce(d(real), valid) + self.bce(d(fake), fake_t)
+                self.optD[w].zero_grad()
+                d_loss.backward()
+                self.optD[w].step()
+                g_loss = self.bce(d(g(torch.from_numpy(z2[w, i]))), valid)
+                self.optG[w].zero_grad()
+                g_loss.backward()
+                self.optG[w].step()
+        with torch.no_grad():
+            for k_ in self.g_global:
+                self.g_global[k_] = sum(
+                    float(wts[w]) * self.G[w].state_dict()[k_]
+                    for w in range(self.W) if wts[w] > 0)
+            for k_ in self.d_global:
+                self.d_global[k_] = sum(
+                    float(wts[w]) * self.D[w].state_dict()[k_]
+                    for w in range(self.W) if wts[w] > 0)
+
+    def sample(self, zs):
+        torch = self.torch
+        g = _t_small_g(torch)
+        g.load_state_dict(self.g_global)
+        with torch.no_grad():
+            return g(torch.from_numpy(zs.copy())).numpy()
+
+
 # ---------------------------------------------------------------------------
 # the comparison harness
 # ---------------------------------------------------------------------------
@@ -458,6 +547,10 @@ def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
     elif algo == "flgan":
         twin = TorchFLGANTwin(cfg, part, state)
         streams = flgan_round_streams(root, cfg, max_len)
+    elif algo == "fegan":
+        twin = TorchFeGANTwin(cfg, part, state, runner.extras["schedule"],
+                              runner.extras["sk"])
+        streams = flgan_round_streams(root, cfg, max_len)
     else:
         raise ValueError(algo)
 
@@ -487,10 +580,13 @@ def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
 
 def main():
     for algo, rounds, tick in (("cglgan", 400, 50), ("flgan", 400, 50),
-                               ("mdgan", 400, 50)):
+                               ("mdgan", 400, 50), ("fegan", 400, 50)):
         print(f"== {algo}: {rounds} rounds, tick {tick} ==")
-        kw = {"num_workers": 4, "num_servers": 2, "cloud_epoch": 2} \
-            if algo == "cglgan" else {"num_workers": 4}
+        kw = {"num_workers": 4}
+        if algo == "cglgan":
+            kw.update(num_servers=2, cloud_epoch=2)
+        if algo == "fegan":
+            kw.update(frac_workers=0.5)
         for row in run_compare(algo, rounds, tick, **kw):
             print("  " + " ".join(f"{k}={v:.4f}" if isinstance(v, float)
                                   else f"{k}={v}" for k, v in row.items()))

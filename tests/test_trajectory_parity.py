@@ -40,3 +40,13 @@ class TestTrajectoryParity:
             assert r["samples_rmse"] < 2e-2, r
             assert abs(r["kl_jax"] - r["kl_torch"]) < 0.3, r
             assert abs(r["ds_jax"] - r["ds_torch"]) < 0.05, r
+
+    def test_fegan_150_rounds(self):
+        """Covers the group schedule, exp(sk) weights and partial
+        participation (only sampled members advance)."""
+        rows = run_compare("fegan", 150, 75, num_workers=4,
+                           frac_workers=0.5)
+        for r in rows:
+            assert r["samples_rmse"] < 5e-3, r
+            assert abs(r["kl_jax"] - r["kl_torch"]) < 0.1, r
+            assert abs(r["ds_jax"] - r["ds_torch"]) < 0.03, r
