@@ -170,7 +170,12 @@ def _copy_seq_d(torch, td, dp):
 
 class TorchCGLTwin:
     """The reference CGL-GAN 2DMG protocol in eager torch, consuming
-    externally supplied latent/batch streams (CGLGAN/2DMG/main.py:103-375)."""
+    externally supplied latent/batch streams (CGLGAN/2DMG/main.py:103-375).
+
+    Subclass hooks: ``d_half`` (CAP/Mix halve the D loss, capgan.py:339) and
+    ``_game`` (the per-variant Lambda weighting)."""
+
+    d_half = False
 
     def __init__(self, cfg, part, jax_state):
         torch = self.torch = _torch()
@@ -235,6 +240,19 @@ class TorchCGLTwin:
                 tr.bias.copy_(cfg.segema * tr.bias
                               + (1 - cfg.segema) * avg_b)
 
+    def _game(self, s, l):
+        """cgl_mean_game: gamma = softmax(Lambda*l); w = (beta+gamma)/2;
+        manual ascent Lambda += 10*[sum(l^2 g) - sum(l g)*F_gamma]
+        (CGLGAN/MNIST/main.py:279-292).  Returns the constant weights w and
+        updates self.lam[s] in place."""
+        torch = self.torch
+        gamma = torch.softmax(torch.tensor(self.lam[s]) * l, dim=0)
+        w = (torch.from_numpy(self.beta[s]) + gamma) / 2.0
+        f_gamma = (gamma * l).sum()
+        self.lam[s] += 10.0 * float((l * l * gamma).sum()
+                                    - (l * gamma).sum() * f_gamma)
+        return w
+
     def round(self, t, starts, z_d, z_g):
         torch, cfg, k = self.torch, self.cfg, self.k
         self._cloud_sync(t)
@@ -252,6 +270,8 @@ class TorchCGLTwin:
                         self.shards[s, i, st:st + self.B].copy())
                     loss = self.bce(d(real), valid) \
                         + self.bce(d(xd[i]), fake_t)
+                    if self.d_half:
+                        loss = loss * 0.5
                     optd.zero_grad()
                     loss.backward()
                     optd.step()
@@ -259,10 +279,7 @@ class TorchCGLTwin:
             xg = g(torch.from_numpy(z_g[s]))
             graph = [self.bce(self.D[s][i](xg[i]), valid) for i in range(k)]
             l = torch.stack(graph).detach()
-            # the Lambda game (cgl_mean_game, CGLGAN/MNIST/main.py:279-292)
-            gamma = torch.softmax(torch.tensor(self.lam[s]) * l, dim=0)
-            w = (torch.from_numpy(self.beta[s]) + gamma) / 2.0
-            f_gamma = (gamma * l).sum()
+            w = self._game(s, l)
             optg.zero_grad()
             # heads <- sum(l) with trunk frozen; trunk <- sum(w*l) with heads
             # frozen (the reference freeze dance, main.py:272-289)
@@ -273,8 +290,6 @@ class TorchCGLTwin:
             (w * torch.stack(graph)).sum().backward()
             g.heads.requires_grad_(True)
             optg.step()
-            self.lam[s] += 10.0 * float((l * l * gamma).sum()
-                                        - (l * gamma).sum() * f_gamma)
 
     def sample(self, zs):
         """Painter semantics: per server G(fixed_z), heads interleaved back
@@ -286,6 +301,216 @@ class TorchCGLTwin:
                 out = self.G[s](torch.from_numpy(zs[s]))      # (k, per, 2)
                 per = out.shape[1]
                 outs.append(out.reshape(k * per, 2)[::k].numpy())
+        return np.concatenate(outs, axis=0)
+
+
+class TorchMixGANTwin(TorchCGLTwin):
+    """The reference Mix-G 2DMG protocol (mixed-gan.py:91-393): same 3-tier
+    multipath shape as CGL-GAN but the D loss is halved (mixed-gan.py:382),
+    the trunk objective is F = sum(softmax(beta*Lambda*l) * l) - 0.001*Lambda
+    and Lambda is an SGD(lr_lambda) parameter whose only F-gradient is the
+    constant -0.001 (mixed-gan.py:276-286).  The DCGAN weights_init the
+    reference applies (mixed-gan.py:181,348) is inherited by copying the jax
+    initial state, exactly like every other twin."""
+
+    d_half = True
+
+    def _game(self, s, l):
+        torch = self.torch
+        w = torch.softmax(torch.from_numpy(self.beta[s])
+                          * torch.tensor(self.lam[s]) * l, dim=0)
+        self.lam[s] += self.cfg.lr_lambda * 0.001
+        return w
+
+
+class TorchCAPGANTwin:
+    """The reference CAP-GAN 2DMG protocol in eager torch (capgan.py:86-349):
+    single-path G per edge server, the full detached fake batch broadcast to
+    every client (capgan.py:224-225), halved D loss (capgan.py:339),
+    G objective F = sum(alpha*l) - 0.001*Lambda with
+    alpha = softmax(softmax(Lambda*l)*beta) on detached l (capgan.py:247-259),
+    and cloud sync of the FULL generator on the data-size-scaled cadence
+    t % (data_len*cloud_epoch/B) == 0 (capgan.py:169) — servers whose cadence
+    fires this round average (weights renormalised over the firing set) and
+    sigma-mix the average back in, matching algos/cgl_family.cloud_sync."""
+
+    def __init__(self, cfg, part, jax_state):
+        torch = self.torch = _torch()
+        import torch.nn as tnn
+        from cglgan_tpu.fed import topology
+
+        self.cfg = cfg
+        S, self.k = cfg.num_servers, cfg.clients_per_server
+        self.S, k = S, self.k
+        self.B = cfg.batch_size
+        self.shards = np.asarray(part.data).reshape(
+            (S, k) + part.data.shape[1:])
+        self.beta = topology.server_beta(part.lengths, S)        # (S, k)
+        dl = topology.server_data_len(part.lengths, S)
+        self.a_w = (dl / dl.sum()).astype(np.float32)            # (S,)
+        self.periods = np.maximum(
+            1, (dl * cfg.cloud_epoch / cfg.batch_size).astype(np.int64))
+        self.lam = np.zeros(S, np.float32)
+        self.bce = tnn.BCELoss()
+
+        gp, dp = jax_state.g.params, jax_state.d.params
+        self.G, self.optG, self.D, self.optD = [], [], [], []
+        for s in range(S):
+            g = _t_small_g(torch)
+            lins = [m for m in g if m.__class__.__name__ == "Linear"]
+            for m, p in zip(lins, [x for x in gp
+                                   if isinstance(x, dict) and "w" in x]):
+                _copy_linear(torch, m, {kk: np.asarray(vv)[s]
+                                        for kk, vv in p.items()})
+            self.G.append(g)
+            self.optG.append(torch.optim.Adam(
+                g.parameters(), lr=cfg.lr_g, betas=(cfg.b1, cfg.b2)))
+            ds_row, opt_row = [], []
+            for i in range(k):
+                d = _t_2dmg_d(torch)
+                _copy_seq_d(torch, d, [
+                    None if x is None else
+                    {kk: np.asarray(vv)[s, i] for kk, vv in x.items()}
+                    for x in dp])
+                ds_row.append(d)
+                opt_row.append(torch.optim.Adam(
+                    d.parameters(), lr=cfg.lr_d, betas=(cfg.b1, cfg.b2)))
+            self.D.append(ds_row)
+            self.optD.append(opt_row)
+
+    def _cloud_sync(self, t):
+        cfg, torch = self.cfg, self.torch
+        if cfg.cloud_epoch <= 0:
+            return
+        mask = (t % self.periods) == 0                          # (S,)
+        if not mask.any():
+            return
+        wts = self.a_w * mask
+        wts = wts / wts.sum()
+        with torch.no_grad():
+            sds = [g.state_dict() for g in self.G]
+            avg = {k_: sum(float(wts[s]) * sds[s][k_]
+                           for s in range(self.S) if wts[s] > 0)
+                   for k_ in sds[0]}
+            for s in range(self.S):
+                if not mask[s]:
+                    continue
+                for k_, v in sds[s].items():
+                    v.copy_(cfg.segema * v + (1 - cfg.segema) * avg[k_])
+
+    def round(self, t, starts, z_d, z_g):
+        torch, cfg, k = self.torch, self.cfg, self.k
+        self._cloud_sync(t)
+        valid = torch.ones(self.B, 1)
+        fake_t = torch.zeros(self.B, 1)
+        for s in range(self.S):
+            g, optg = self.G[s], self.optG[s]
+            xd = g(torch.from_numpy(z_d[s])).detach()     # full batch to all
+            for i in range(k):
+                d, optd = self.D[s][i], self.optD[s][i]
+                for e in range(cfg.epoch):
+                    st = int(starts[e])
+                    real = torch.from_numpy(
+                        self.shards[s, i, st:st + self.B].copy())
+                    loss = 0.5 * (self.bce(d(real), valid)
+                                  + self.bce(d(xd), fake_t))
+                    optd.zero_grad()
+                    loss.backward()
+                    optd.step()
+            xg = g(torch.from_numpy(z_g[s]))
+            graph = [self.bce(self.D[s][i](xg), valid) for i in range(k)]
+            l = torch.stack(graph).detach()
+            inner = torch.softmax(torch.tensor(self.lam[s]) * l, dim=0)
+            alpha = torch.softmax(inner * torch.from_numpy(self.beta[s]),
+                                  dim=0)
+            optg.zero_grad()
+            (alpha * torch.stack(graph)).sum().backward()
+            optg.step()
+            self.lam[s] += cfg.lr_lambda * 0.001
+
+    def sample(self, zs):
+        torch = self.torch
+        outs = []
+        with torch.no_grad():
+            for s in range(self.S):
+                outs.append(self.G[s](torch.from_numpy(zs[s].copy())).numpy())
+        return np.concatenate(outs, axis=0)
+
+
+class TorchACGANTwin:
+    """The reference AC-GAN 2DMG protocol in eager torch
+    (ACGAN/2DMG/acgan.py:102-257): S servers each own a small G
+    (100-32-2, ACGAN/2DMG/model.py:4-20) and serve a block of k clients;
+    per round each server broadcasts Xd (detached) + Xg, the clients train
+    their Ds ``epoch`` steps on (real, Xd), and the server means the clients'
+    BCE(D_i(Xg), 1) losses through the UPDATED Ds, backprops and steps."""
+
+    def __init__(self, cfg, part, jax_state):
+        torch = self.torch = _torch()
+        import torch.nn as tnn
+        self.cfg = cfg
+        S, self.k = cfg.num_servers, cfg.clients_per_server
+        self.S, k = S, self.k
+        self.B = cfg.batch_size
+        self.shards = np.asarray(part.data).reshape(
+            (S, k) + part.data.shape[1:])
+        self.bce = tnn.BCELoss()
+
+        gp, dp = jax_state.g.params, jax_state.d.params
+        self.G, self.optG, self.D, self.optD = [], [], [], []
+        for s in range(S):
+            g = _t_small_g(torch)
+            lins = [m for m in g if m.__class__.__name__ == "Linear"]
+            for m, p in zip(lins, [x for x in gp
+                                   if isinstance(x, dict) and "w" in x]):
+                _copy_linear(torch, m, {kk: np.asarray(vv)[s]
+                                        for kk, vv in p.items()})
+            self.G.append(g)
+            self.optG.append(torch.optim.Adam(
+                g.parameters(), lr=cfg.lr_g, betas=(cfg.b1, cfg.b2)))
+            ds_row, opt_row = [], []
+            for i in range(k):
+                d = _t_2dmg_d(torch)
+                _copy_seq_d(torch, d, [
+                    None if x is None else
+                    {kk: np.asarray(vv)[s, i] for kk, vv in x.items()}
+                    for x in dp])
+                ds_row.append(d)
+                opt_row.append(torch.optim.Adam(
+                    d.parameters(), lr=cfg.lr_d, betas=(cfg.b1, cfg.b2)))
+            self.D.append(ds_row)
+            self.optD.append(opt_row)
+
+    def round(self, t, starts, z_d, z_g):
+        torch, cfg, k = self.torch, self.cfg, self.k
+        valid = torch.ones(self.B, 1)
+        fake_t = torch.zeros(self.B, 1)
+        for s in range(self.S):
+            g, optg = self.G[s], self.optG[s]
+            xd = g(torch.from_numpy(z_d[s])).detach()
+            for i in range(k):
+                d, optd = self.D[s][i], self.optD[s][i]
+                for e in range(cfg.epoch):
+                    st = int(starts[e])
+                    real = torch.from_numpy(
+                        self.shards[s, i, st:st + self.B].copy())
+                    loss = self.bce(d(real), valid) + self.bce(d(xd), fake_t)
+                    optd.zero_grad()
+                    loss.backward()
+                    optd.step()
+            xg = g(torch.from_numpy(z_g[s]))
+            g_loss = torch.stack(
+                [self.bce(self.D[s][i](xg), valid) for i in range(k)]).mean()
+            optg.zero_grad()
+            g_loss.backward()
+            optg.step()
+
+    def sample(self, zs):
+        torch = self.torch
+        outs = []
+        with torch.no_grad():
+            for s in range(self.S):
+                outs.append(self.G[s](torch.from_numpy(zs[s].copy())).numpy())
         return np.concatenate(outs, axis=0)
 
 
@@ -540,9 +765,19 @@ def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
     if algo == "cglgan":
         twin = TorchCGLTwin(cfg, part, state)
         streams = cgl_round_streams(root, cfg, max_len)
+    elif algo == "mixgan":
+        twin = TorchMixGANTwin(cfg, part, state)
+        streams = cgl_round_streams(root, cfg, max_len)
+    elif algo == "capgan":
+        twin = TorchCAPGANTwin(cfg, part, state)
+        streams = cgl_round_streams(root, cfg, max_len)
     elif algo == "mdgan":
         # same per-round draw sequence as the CGL family (S=1)
         twin = TorchMDGANTwin(cfg, part, state)
+        streams = cgl_round_streams(root, cfg, max_len)
+    elif algo == "acgan":
+        # multi-server variant of the same draw sequence
+        twin = TorchACGANTwin(cfg, part, state)
         streams = cgl_round_streams(root, cfg, max_len)
     elif algo == "flgan":
         twin = TorchFLGANTwin(cfg, part, state)
@@ -580,11 +815,19 @@ def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
 
 def main():
     for algo, rounds, tick in (("cglgan", 400, 50), ("flgan", 400, 50),
-                               ("mdgan", 400, 50), ("fegan", 400, 50)):
+                               ("mdgan", 400, 50), ("fegan", 400, 50),
+                               ("capgan", 400, 50), ("mixgan", 400, 50),
+                               ("acgan", 400, 50)):
         print(f"== {algo}: {rounds} rounds, tick {tick} ==")
         kw = {"num_workers": 4}
         if algo == "cglgan":
             kw.update(num_servers=2, cloud_epoch=2)
+        if algo == "mixgan":
+            kw.update(num_servers=2, cloud_epoch=2)
+        if algo == "capgan":
+            kw.update(num_servers=2, cloud_epoch=1)
+        if algo == "acgan":
+            kw.update(num_servers=2)
         if algo == "fegan":
             kw.update(frac_workers=0.5)
         for row in run_compare(algo, rounds, tick, **kw):

@@ -41,6 +41,34 @@ class TestTrajectoryParity:
             assert abs(r["kl_jax"] - r["kl_torch"]) < 0.3, r
             assert abs(r["ds_jax"] - r["ds_torch"]) < 0.05, r
 
+    def test_acgan_150_rounds(self):
+        """Multi-server fake-batch baseline: 2 servers x 2 clients."""
+        rows = run_compare("acgan", 150, 75, num_workers=4, num_servers=2)
+        for r in rows:
+            assert r["samples_rmse"] < 5e-3, r
+            assert abs(r["kl_jax"] - r["kl_torch"]) < 0.1, r
+            assert abs(r["ds_jax"] - r["ds_torch"]) < 0.03, r
+
+    def test_capgan_150_rounds(self):
+        """Single-path CAP-GAN: halved D loss, cap_exp weighting, full-G
+        cloud sync on the data-size-scaled cadence (capgan.py:169)."""
+        rows = run_compare("capgan", 150, 75, num_workers=4, num_servers=2,
+                           cloud_epoch=1)
+        for r in rows:
+            assert r["samples_rmse"] < 5e-3, r
+            assert abs(r["kl_jax"] - r["kl_torch"]) < 0.1, r
+            assert abs(r["ds_jax"] - r["ds_torch"]) < 0.03, r
+
+    def test_mixgan_150_rounds(self):
+        """Mix-G: multipath + DCGAN re-init, halved D loss, mix_bll
+        weighting, trunk-only cloud sync (mixed-gan.py:91-393)."""
+        rows = run_compare("mixgan", 150, 75, num_workers=4, num_servers=2,
+                           cloud_epoch=2)
+        for r in rows:
+            assert r["samples_rmse"] < 5e-3, r
+            assert abs(r["kl_jax"] - r["kl_torch"]) < 0.1, r
+            assert abs(r["ds_jax"] - r["ds_torch"]) < 0.03, r
+
     def test_fegan_150_rounds(self):
         """Covers the group schedule, exp(sk) weights and partial
         participation (only sampled members advance)."""
