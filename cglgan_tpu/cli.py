@@ -92,6 +92,11 @@ def _add_run_args(p: argparse.ArgumentParser, with_algo: bool = True) -> None:
                    help="fused VMEM-resident local-D-epoch kernel "
                         "(~2.5x rounds at epoch>=2; auto = on when "
                         "eligible and epoch>1)")
+    p.add_argument("--pallas-sweep", default="auto",
+                   choices=("auto", "on", "off"),
+                   help="fused local D/G-sweep kernel for 2DMG flgan/fegan "
+                        "(measured slower than the XLA path on v5e; "
+                        "auto/off = XLA path, on = force the kernel)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of one eval chunk")
 
@@ -116,7 +121,9 @@ def cfg_from_args(args) -> FedGANConfig:
         model_shards=getattr(args, "model_shards", 1),
         d_swap=getattr(args, "d_swap", "ring"),
         pallas_dstep={"auto": None, "on": True, "off": False}[
-            getattr(args, "pallas_dstep", "auto")])
+            getattr(args, "pallas_dstep", "auto")],
+        pallas_sweep={"auto": None, "on": True, "off": False}[
+            getattr(args, "pallas_sweep", "auto")])
 
 
 def cmd_run(args) -> int:

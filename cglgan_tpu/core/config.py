@@ -114,6 +114,14 @@ class FedGANConfig:
     # is ineligible), False = never.  Float-tolerance parity with the XLA
     # path (MXU accumulation order differs), not bit parity.
     pallas_dstep: Optional[bool] = None
+    # fused VMEM-resident local D/G-sweep kernel for the FedAvg family
+    # (ops/pallas/fused_sweep.py): runs all ``epoch`` interleaved
+    # (D step, G step) local iterations with BOTH optimizer states resident
+    # in VMEM.  2DMG flgan/fegan only.  Measured 0.78-0.95x the XLA path on
+    # v5e (the tiny 2DMG nets batch better under vmap than a serial kernel
+    # grid) — kept as a documented negative result; None/False = off,
+    # True = force (numerics testing / other TPU generations).
+    pallas_sweep: Optional[bool] = None
     seed: int = 20211212
     # param/activation dtype; "bfloat16" = +32% rounds/s on v5e (losses and
     # the Lambda game stay float32).  See PERF.md for the 2DMG precision
