@@ -60,16 +60,18 @@ def cgl_round_streams(root, cfg, max_len: int):
     return at
 
 
-def flgan_round_streams(root, cfg, max_len: int):
+def flgan_round_streams(root, cfg, max_len: int, max_steps: int = None):
     """Per-round (starts, z1, z2) as algos.fedavg_family draws them:
     starts (steps,), z1/z2 (W, steps, B, zdim) — z1 feeds the D step's fake
-    batch, z2 the G step."""
+    batch, z2 the G step.  ``max_steps``: the ragged "epochs" sweep's
+    max-over-workers step count (defaults to cfg.epoch, the 2DMG "batches"
+    semantics)."""
     import jax
     from cglgan_tpu.algos import common
     from cglgan_tpu.core import prng
 
     W, B, zdim = cfg.num_workers, cfg.batch_size, cfg.latent_dim
-    steps = cfg.epoch    # 2DMG "batches" local-sweep semantics
+    steps = max_steps if max_steps is not None else cfg.epoch
 
     def at(t):
         key = prng.for_round(prng.for_role(root, prng.ROLE_LOCAL), t)
@@ -153,6 +155,55 @@ def _t_2dmg_d(torch):
     return tnn.Sequential(tnn.Linear(2, 128), tnn.LeakyReLU(0.2),
                           tnn.Linear(128, 256), tnn.LeakyReLU(0.2),
                           tnn.Linear(256, 1), tnn.Sigmoid())
+
+
+def _t_mnist_g(torch):
+    """The reference MNIST MLP G (model/mnist_model.py:5-28): 100-128-256-
+    512-1024-784, BatchNorm1d(h, 0.8) — positionally eps=0.8, the DCGAN-code
+    quirk — on all but the first block, LeakyReLU(0.2), Tanh."""
+    import torch.nn as tnn
+    return tnn.Sequential(
+        tnn.Linear(100, 128), tnn.LeakyReLU(0.2),
+        tnn.Linear(128, 256), tnn.BatchNorm1d(256, 0.8), tnn.LeakyReLU(0.2),
+        tnn.Linear(256, 512), tnn.BatchNorm1d(512, 0.8), tnn.LeakyReLU(0.2),
+        tnn.Linear(512, 1024), tnn.BatchNorm1d(1024, 0.8),
+        tnn.LeakyReLU(0.2),
+        tnn.Linear(1024, 784), tnn.Tanh())
+
+
+def _t_mnist_d(torch, out_dim):
+    import torch.nn as tnn
+    return tnn.Sequential(tnn.Linear(784, 512), tnn.LeakyReLU(0.2),
+                          tnn.Linear(512, 256), tnn.LeakyReLU(0.2),
+                          tnn.Linear(256, out_dim))
+
+
+def _copy_mnist_g(torch, tg, gp, gbn, idx=None):
+    """Copy jax mnist-mlp params+BN state (optionally indexed on a leading
+    stacked axis) into the torch twin."""
+    take = (lambda x: np.asarray(x)) if idx is None else \
+        (lambda x: np.asarray(x)[idx])
+    lins = [m for m in tg if m.__class__.__name__ == "Linear"]
+    bns = [m for m in tg if m.__class__.__name__ == "BatchNorm1d"]
+    jl = [p for p in gp if isinstance(p, dict) and "w" in p]
+    jb = [p for p in gp if isinstance(p, dict) and "scale" in p]
+    js = [s for s in gbn if isinstance(s, dict)]
+    with torch.no_grad():
+        for m, p in zip(lins, jl):
+            m.weight.copy_(torch.from_numpy(take(p["w"]).T.copy()))
+            m.bias.copy_(torch.from_numpy(take(p["b"]).copy()))
+        for m, p, s in zip(bns, jb, js):
+            m.weight.copy_(torch.from_numpy(take(p["scale"]).copy()))
+            m.bias.copy_(torch.from_numpy(take(p["bias"]).copy()))
+            m.running_mean.copy_(torch.from_numpy(take(s["mean"]).copy()))
+            m.running_var.copy_(torch.from_numpy(take(s["var"]).copy()))
+
+
+def _t_normalize(torch, u8):
+    """uint8 (B, 784) -> [-1, 1] float, the reference ToTensor+Normalize
+    (capgan.py:466-469)."""
+    x = torch.from_numpy(u8.astype(np.float32) / 255.0)
+    return (x - 0.5) / 0.5
 
 
 def _copy_linear(torch, module, p):
@@ -514,6 +565,200 @@ class TorchACGANTwin:
         return np.concatenate(outs, axis=0)
 
 
+class TorchCAPGANMNISTTwin(TorchCAPGANTwin):
+    """CAP-GAN on the MNIST-shaped workload (capgan.py:86-349): BN(eps 0.8)
+    generator (model/mnist_model.py:5-28), 2-logit D + CrossEntropyLoss
+    (capgan.py:311), ToTensor+Normalize reals, halved D loss, cap_exp
+    weighting and the full-G cloud sync — certifying the train-mode
+    BatchNorm semantics (batch stats + running-stat updates, including the
+    no-grad Xd forward) across a multi-round trajectory."""
+
+    def __init__(self, cfg, part, jax_state):
+        torch = self.torch = _torch()
+        import torch.nn as tnn
+        from cglgan_tpu.fed import topology
+
+        self.cfg = cfg
+        S, self.k = cfg.num_servers, cfg.clients_per_server
+        self.S, k = S, self.k
+        self.B = cfg.batch_size
+        self.shards = np.asarray(part.data).reshape(
+            (S, k) + part.data.shape[1:])
+        self.beta = topology.server_beta(part.lengths, S)
+        dl = topology.server_data_len(part.lengths, S)
+        self.a_w = (dl / dl.sum()).astype(np.float32)
+        self.periods = np.maximum(
+            1, (dl * cfg.cloud_epoch / cfg.batch_size).astype(np.int64))
+        self.lam = np.zeros(S, np.float32)
+        self.ce = tnn.CrossEntropyLoss()
+
+        gp, gbn = jax_state.g.params, jax_state.g.bn
+        dp = jax_state.d.params
+        self.G, self.optG, self.D, self.optD = [], [], [], []
+        for s in range(S):
+            g = _t_mnist_g(torch)
+            _copy_mnist_g(torch, g, gp, gbn, idx=s)
+            self.G.append(g)
+            self.optG.append(torch.optim.Adam(
+                g.parameters(), lr=cfg.lr_g, betas=(cfg.b1, cfg.b2)))
+            ds_row, opt_row = [], []
+            for i in range(k):
+                d = _t_mnist_d(torch, 2)
+                _copy_seq_d(torch, d, [
+                    None if x is None else
+                    {kk: np.asarray(vv)[s, i] for kk, vv in x.items()}
+                    for x in dp])
+                ds_row.append(d)
+                opt_row.append(torch.optim.Adam(
+                    d.parameters(), lr=cfg.lr_d, betas=(cfg.b1, cfg.b2)))
+            self.D.append(ds_row)
+            self.optD.append(opt_row)
+
+    def _cloud_sync(self, t):
+        cfg, torch = self.cfg, self.torch
+        if cfg.cloud_epoch <= 0:
+            return
+        mask = (t % self.periods) == 0
+        if not mask.any():
+            return
+        wts = self.a_w * mask
+        wts = wts / wts.sum()
+        with torch.no_grad():
+            sds = [g.state_dict() for g in self.G]
+            # skip 0-dim buffers as copy_parameters does
+            # (CGLGAN/MNIST/main.py:140-145 — num_batches_tracked)
+            keys = [k_ for k_ in sds[0] if sds[0][k_].dim() > 0]
+            avg = {k_: sum(float(wts[s]) * sds[s][k_]
+                           for s in range(self.S) if wts[s] > 0)
+                   for k_ in keys}
+            for s in range(self.S):
+                if not mask[s]:
+                    continue
+                for k_ in keys:
+                    v = sds[s][k_]
+                    v.copy_(cfg.segema * v + (1 - cfg.segema) * avg[k_])
+
+    def round(self, t, starts, z_d, z_g):
+        torch, cfg, k = self.torch, self.cfg, self.k
+        self._cloud_sync(t)
+        ones = torch.ones(self.B, dtype=torch.long)
+        zeros = torch.zeros(self.B, dtype=torch.long)
+        for s in range(self.S):
+            g, optg = self.G[s], self.optG[s]
+            with torch.no_grad():     # Xd: train-mode fwd advances BN stats
+                xd = g(torch.from_numpy(z_d[s]))
+            for i in range(k):
+                d, optd = self.D[s][i], self.optD[s][i]
+                for e in range(cfg.epoch):
+                    st = int(starts[e])
+                    real = _t_normalize(
+                        torch, self.shards[s, i, st:st + self.B])
+                    loss = 0.5 * (self.ce(d(real), ones)
+                                  + self.ce(d(xd), zeros))
+                    optd.zero_grad()
+                    loss.backward()
+                    optd.step()
+            xg = g(torch.from_numpy(z_g[s]))
+            graph = [self.ce(self.D[s][i](xg), ones) for i in range(k)]
+            l = torch.stack(graph).detach()
+            inner = torch.softmax(torch.tensor(self.lam[s]) * l, dim=0)
+            alpha = torch.softmax(inner * torch.from_numpy(self.beta[s]),
+                                  dim=0)
+            optg.zero_grad()
+            (alpha * torch.stack(graph)).sum().backward()
+            optg.step()
+            self.lam[s] += cfg.lr_lambda * 0.001
+
+    def sample(self, zs):
+        torch = self.torch
+        outs = []
+        with torch.no_grad():
+            for s in range(self.S):
+                self.G[s].eval()
+                outs.append(self.G[s](
+                    torch.from_numpy(zs[s].copy())).numpy())
+                self.G[s].train()
+        return np.concatenate(outs, axis=0)
+
+
+class TorchFLGANMNISTTwin:
+    """FL-GAN on the MNIST-shaped workload (FLGAN/MNIST/flgan.py:107-270):
+    broadcast -> ``epoch`` full RAGGED local epochs per worker
+    (ceil(len_w/B) steps — the 'epochs' sweep semantics, distinct from the
+    2DMG 'batches' variant) -> uniform FedAvg of params AND BN buffers."""
+
+    def __init__(self, cfg, part, jax_state, steps_per_worker):
+        torch = self.torch = _torch()
+        import torch.nn as tnn
+        self.cfg = cfg
+        self.W = cfg.num_workers
+        self.B = cfg.batch_size
+        self.shards = np.asarray(part.data)
+        self.steps = np.asarray(steps_per_worker)
+        self.bce = tnn.BCELoss()
+
+        gp, gbn, dp = jax_state.g.params, jax_state.g.bn, jax_state.d.params
+        self.G = [_t_mnist_g(torch) for _ in range(self.W)]
+        self.D = []
+        for w in range(self.W):
+            _copy_mnist_g(torch, self.G[w], gp, gbn)
+            d = tnn.Sequential(_t_mnist_d(torch, 1), tnn.Sigmoid())
+            _copy_seq_d(torch, d[0], dp)
+            self.D.append(d)
+        self.optG = [torch.optim.Adam(g.parameters(), lr=cfg.lr_g,
+                                      betas=(cfg.b1, cfg.b2))
+                     for g in self.G]
+        self.optD = [torch.optim.Adam(d.parameters(), lr=cfg.lr_d,
+                                      betas=(cfg.b1, cfg.b2))
+                     for d in self.D]
+        self.g_global = {k: v.clone() for k, v in
+                         self.G[0].state_dict().items()}
+        self.d_global = {k: v.clone() for k, v in
+                         self.D[0].state_dict().items()}
+
+    def round(self, t, starts, z1, z2):
+        torch, cfg = self.torch, self.cfg
+        valid = torch.ones(self.B, 1)
+        fake_t = torch.zeros(self.B, 1)
+        for w in range(self.W):
+            g, d = self.G[w], self.D[w]
+            with torch.no_grad():
+                g.load_state_dict(self.g_global, strict=False)
+                d.load_state_dict(self.d_global, strict=False)
+            for i in range(int(self.steps[w])):     # ragged epochs
+                st = int(starts[i])
+                real = _t_normalize(torch,
+                                    self.shards[w, st:st + self.B])
+                fake = g(torch.from_numpy(z1[w, i])).detach()
+                d_loss = self.bce(d(real), valid) + self.bce(d(fake), fake_t)
+                self.optD[w].zero_grad()
+                d_loss.backward()
+                self.optD[w].step()
+                g_loss = self.bce(d(g(torch.from_numpy(z2[w, i]))), valid)
+                self.optG[w].zero_grad()
+                g_loss.backward()
+                self.optG[w].step()
+        with torch.no_grad():
+            for k_ in self.g_global:
+                if self.g_global[k_].dim() == 0:
+                    continue            # num_batches_tracked: not averaged
+                self.g_global[k_] = torch.stack(
+                    [g.state_dict()[k_].float() for g in self.G]).mean(0)
+            for k_ in self.d_global:
+                if self.d_global[k_].dim() == 0:
+                    continue
+                self.d_global[k_] = torch.stack(
+                    [d.state_dict()[k_].float() for d in self.D]).mean(0)
+
+    def sample(self, zs):
+        torch = self.torch
+        g = _t_mnist_g(torch)
+        g.load_state_dict(self.g_global, strict=False)
+        g.eval()
+        with torch.no_grad():
+            return g(torch.from_numpy(zs.copy())).numpy()
+
+
 class TorchMDGANTwin:
     """The reference MD-GAN 2DMG protocol in eager torch
     (MDGAN/2DMG/mdgan.py:108-280): central G makes Xd (detached) + Xg;
@@ -740,7 +985,27 @@ class TorchFeGANTwin:
 # the comparison harness
 # ---------------------------------------------------------------------------
 
-def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
+def _shrink_partition(part, cap: int):
+    """Clip every worker's shard to at most ``cap`` true rows (wrap-padded
+    to the new common max, like partition() itself).  Keeps the image
+    workloads' ragged "epochs" sweep testable at parity-harness scale —
+    BOTH implementations consume the same shrunk partition, so the
+    comparison stays exact."""
+    from cglgan_tpu.data.partition import Partition
+    W = part.num_workers
+    new_len = np.minimum(part.lengths, cap)
+    m = int(new_len.max())
+    data = np.stack([np.resize(part.data[w, :new_len[w]],
+                               (m,) + part.data.shape[2:])
+                     for w in range(W)])
+    labels = np.stack([np.resize(part.labels[w, :new_len[w]], (m,))
+                       for w in range(W)])
+    return Partition(data, labels, new_len.astype(part.lengths.dtype),
+                     part.class_freq, part.eval_pool)
+
+
+def run_compare(algo: str, rounds: int, tick: int, shrink_to: int = None,
+                **cfg_kw):
     """Run both implementations for ``rounds`` rounds and return the list of
     per-tick dicts {round, kl_jax, ds_jax, kl_torch, ds_torch}."""
     import jax
@@ -757,6 +1022,8 @@ def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
     base.update(cfg_kw)
     cfg = FedGANConfig(algo=algo, num_communication=rounds, **base)
     part = load_partition(cfg)
+    if shrink_to is not None:
+        part = _shrink_partition(part, shrink_to)
     runner = build_runner(cfg, part)
     state = runner.init_state()
     root = prng.root_key(cfg.seed)
@@ -769,7 +1036,8 @@ def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
         twin = TorchMixGANTwin(cfg, part, state)
         streams = cgl_round_streams(root, cfg, max_len)
     elif algo == "capgan":
-        twin = TorchCAPGANTwin(cfg, part, state)
+        twin = (TorchCAPGANMNISTTwin if cfg.is_image
+                else TorchCAPGANTwin)(cfg, part, state)
         streams = cgl_round_streams(root, cfg, max_len)
     elif algo == "mdgan":
         # same per-round draw sequence as the CGL family (S=1)
@@ -780,8 +1048,15 @@ def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
         twin = TorchACGANTwin(cfg, part, state)
         streams = cgl_round_streams(root, cfg, max_len)
     elif algo == "flgan":
-        twin = TorchFLGANTwin(cfg, part, state)
-        streams = flgan_round_streams(root, cfg, max_len)
+        if cfg.is_image:
+            from cglgan_tpu.algos.fedavg_family import _local_steps
+            wsteps = _local_steps(cfg, part.lengths)
+            twin = TorchFLGANMNISTTwin(cfg, part, state, wsteps)
+            streams = flgan_round_streams(root, cfg, max_len,
+                                          max_steps=int(wsteps.max()))
+        else:
+            twin = TorchFLGANTwin(cfg, part, state)
+            streams = flgan_round_streams(root, cfg, max_len)
     elif algo == "fegan":
         twin = TorchFeGANTwin(cfg, part, state, runner.extras["schedule"],
                               runner.extras["sk"])
@@ -790,9 +1065,10 @@ def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
         raise ValueError(algo)
 
     zs = eval_z(root, cfg)
-    pool = jnp.asarray(part.eval_pool)
     round_jit = jax.jit(runner.round_fn)
-    bins = 32 if algo == "mdgan" else 16   # the production eval bin counts
+    if not cfg.is_image:
+        pool = jnp.asarray(part.eval_pool)
+        bins = 32 if algo == "mdgan" else 16   # production eval bin counts
 
     out = []
     for t in range(rounds):
@@ -802,6 +1078,17 @@ def run_compare(algo: str, rounds: int, tick: int, **cfg_kw):
         if (t + 1) % tick == 0:
             s_j = runner.sample(state, cfg.num_sample)
             s_t = twin.sample(zs)
+            if cfg.is_image:
+                # image workload: compare the generated images directly
+                # (generator output in [-1,1]); KL/DS are 2DMG metrics
+                a_j = np.asarray(s_j).reshape(len(s_t), -1)
+                b_t = np.asarray(s_t).reshape(len(s_t), -1)
+                out.append({"round": t + 1,
+                            "samples_rmse": float(np.sqrt(np.mean(
+                                (a_j - b_t) ** 2))),
+                            "samples_maxdiff": float(
+                                np.abs(a_j - b_t).max())})
+                continue
             kl_j, ds_j = kl_and_distribution_score(s_j, pool, bins)
             kl_t, ds_t = kl_and_distribution_score(jnp.asarray(s_t), pool,
                                                    bins)

@@ -69,6 +69,30 @@ class TestTrajectoryParity:
             assert abs(r["kl_jax"] - r["kl_torch"]) < 0.1, r
             assert abs(r["ds_jax"] - r["ds_torch"]) < 0.03, r
 
+    def test_capgan_mnist_25_rounds(self):
+        """Image-workload protocol parity: BN(eps 0.8) generator in train
+        mode (batch stats + running-stat updates incl. the no-grad Xd
+        forward), 2-logit CE discriminators, ToTensor+Normalize reals
+        (capgan.py:86-349, model/mnist_model.py:5-28)."""
+        rows = run_compare("capgan", 25, 12, num_workers=4, num_servers=2,
+                           cloud_epoch=1, dataset="synthetic-mnist",
+                           num_class=10, num_sample=64, batch_size=32)
+        assert len(rows) == 2
+        for r in rows:
+            assert r["samples_rmse"] < 2e-3, r
+
+    def test_flgan_mnist_10_rounds(self):
+        """The ragged 'epochs' local-sweep semantics (epoch x ceil(len/B)
+        steps per worker, FLGAN/MNIST/flgan.py:249-269) + FedAvg of params
+        AND BN buffers.  Short horizon: the BN batch-stat feedback makes
+        the trajectory chaotic (~3x error growth per round from float-ulp
+        seeds; round-1 RMSE is ~4e-7)."""
+        rows = run_compare("flgan", 10, 5, num_workers=4,
+                           dataset="synthetic-mnist", num_class=10,
+                           num_sample=64, batch_size=32, shrink_to=128)
+        for r in rows:
+            assert r["samples_rmse"] < 5e-3, r
+
     def test_fegan_150_rounds(self):
         """Covers the group schedule, exp(sk) weights and partial
         participation (only sampled members advance)."""
