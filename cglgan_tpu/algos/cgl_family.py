@@ -214,32 +214,14 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
         return NetState(new_params, new_bn, g.opt)
 
     max_len = part.data.shape[1]
-    W = S * k
 
     def kernel_round(state: FedState, g: NetState, starts, keys):
         """Same protocol with the local-D phase in the fused Pallas kernel
         (ops/pallas/fused_dstep.py): identical PRNG value draws, float-
         tolerance numerics."""
-        def gen_xd(gp, gbn, kk):
-            k_zd, k_zg, _k_d, k_drop = jax.random.split(kk, 4)
-            z_d = jax.random.normal(k_zd, (B, zdim), dtype)
-            xd, gbn1 = g_model.apply(gp, gbn, z_d, train=True)
-            return jax.lax.stop_gradient(xd), gbn1, k_zg, k_drop
-
-        xd, gbn1, k_zg, k_drop = jax.vmap(gen_xd)(g.params, g.bn, keys)
-        din = int(np.prod(cfg.img_shape)) if cfg.is_image else 2
-        if multipath:       # head i's batch -> client i (S,k,B,...) flat
-            fake_flat = xd.reshape(W, B, din)
-        else:               # full batch to every client of the server
-            fake_flat = jnp.broadcast_to(
-                xd.reshape(S, 1, B, din), (S, k, B, din)).reshape(W, B, din)
-        d_flat = NetState(*jax.tree.map(
-            lambda x: x.reshape((W,) + x.shape[2:]), tuple(state.d)))
-        new_d_flat, d_loss = fused_dstep.kernel_d_phase(
-            d_flat, shards.reshape(W, max_len, -1), starts, fake_flat, cfg,
-            fake_per_client=True)
-        new_d = NetState(*jax.tree.map(
-            lambda x: x.reshape((S, k) + x.shape[1:]), tuple(new_d_flat)))
+        new_d, d_loss, gbn1, k_zg, k_drop = fused_dstep.kernel_local_phase(
+            cfg, g_model, g, state.d, shards, starts, keys, multipath,
+            dtype)
 
         def g_step(gp, gbn1_s, gopt, lam, beta_s, d_p, d_bn, kzg, kdrop):
             z_g = jax.random.normal(kzg, (B, zdim), dtype)

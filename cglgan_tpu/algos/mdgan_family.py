@@ -124,30 +124,15 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
                               "g_loss": g_loss}
 
     max_len = part.data.shape[1]
-    W = S * k
 
     def kernel_round(state: FedState, starts, keys):
         """Same protocol with the local-D phase in the fused Pallas kernel
         (ops/pallas/fused_dstep.py): identical PRNG value draws, float-
-        tolerance numerics.  Requires dropout == 0 (uniform Adam counts)."""
-        def gen_xd(gp, gbn, kk):
-            k_zd, k_zg, _k_d, k_drop = jax.random.split(kk, 4)
-            z_d = jax.random.normal(k_zd, (B, zdim), dtype)
-            xd, gbn1 = g_model.apply(gp, gbn, z_d, train=True)
-            return jax.lax.stop_gradient(xd), gbn1, k_zg, k_drop
-
-        xd, gbn1, k_zg, k_drop = jax.vmap(gen_xd)(
-            state.g.params, state.g.bn, keys)
-        din = int(np.prod(cfg.img_shape)) if cfg.is_image else 2
-        fake_flat = jnp.broadcast_to(
-            xd.reshape(S, 1, B, din), (S, k, B, din)).reshape(W, B, din)
-        d_flat = NetState(*jax.tree.map(
-            lambda x: x.reshape((W,) + x.shape[2:]), tuple(state.d)))
-        new_d_flat, d_loss = fused_dstep.kernel_d_phase(
-            d_flat, shards.reshape(W, max_len, -1), starts, fake_flat, cfg,
-            fake_per_client=True)
-        new_d = NetState(*jax.tree.map(
-            lambda x: x.reshape((S, k) + x.shape[1:]), tuple(new_d_flat)))
+        tolerance numerics.  Requires dropout == 0 (no participation mask
+        in the kernel path)."""
+        new_d, d_loss, gbn1, k_zg, k_drop = fused_dstep.kernel_local_phase(
+            cfg, g_model, state.g, state.d, shards, starts, keys,
+            multipath=False, dtype=dtype)
 
         def g_step(gp, gbn1_s, gopt, d_p, d_bn, kzg, kdrop):
             z_g = jax.random.normal(kzg, (B, zdim), dtype)

@@ -147,6 +147,10 @@ def synthetic_mnist(n: int = 60000, num_class: int = 10, img: int = 28,
     silhouettes) — two structurally distinct workloads, like the reference's
     two sweep datasets.  The native backend generates the mnist bank only.
     """
+    if backend == "native" and family != "mnist":
+        raise ValueError(
+            "backend='native' generates the mnist glyph bank only; use "
+            "backend='numpy' (or 'auto') for family='fashion'")
     if backend in ("auto", "native") and family == "mnist":
         try:
             from cglgan_tpu.data import native

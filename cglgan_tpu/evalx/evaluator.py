@@ -68,10 +68,15 @@ def make_evaluator(cfg, part, eval_n: Optional[int] = None,
         feat_dim = 256
 
     # IS always needs a class-posterior model over the workload's classes;
-    # the pool3 extractor has no class head, so the probe serves both setups
+    # the pool3 extractor has no class head, so the probe serves both setups.
+    # The flattened partition rows are label-ordered under iid=1/2 (each
+    # worker holds a ~3-class window), so a head slice would miss classes
+    # entirely — draw the probe's training subset with a seeded shuffle so
+    # it sees every class regardless of the non-IID layout.
     data_all = part.data.reshape(-1, side, side)
     labels_all = part.labels.reshape(-1)
-    probe = classifier_probe(data_all[:20000], labels_all[:20000],
+    sel = np.random.default_rng(cfg.seed).permutation(len(data_all))[:20000]
+    probe = classifier_probe(data_all[sel], labels_all[sel],
                              cfg.num_class, steps=probe_steps)
 
     if fid_stats:

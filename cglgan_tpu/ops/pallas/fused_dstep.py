@@ -46,8 +46,10 @@ def _dstep_kernel(cc_ref, reals_ref, fake_ref, *refs,
                   is_image: bool, lr: float, b1: float, b2: float):
     """All E local D steps for ONE client, state resident in VMEM.
 
-    ``cc_ref``: (E, 2) SMEM Adam bias corrections (1-b1^t, 1-b2^t),
-    precomputed outside (Mosaic has no powf lowering on this stack).
+    ``cc_ref``: (1, E, 2) SMEM per-client Adam bias corrections
+    (1-b1^t, 1-b2^t), precomputed outside (Mosaic has no powf lowering on
+    this stack); per-client because counts can diverge between clients
+    (e.g. resuming a checkpoint trained with dropout masking).
     ``refs`` = 18 input state refs, 18 aliased output state refs, loss ref.
     Biases arrive shaped (1, 1, h) so every in-kernel tensor is >= 2-D."""
     state_in, state_out, loss_ref = refs[:18], refs[18:36], refs[36]
@@ -120,8 +122,8 @@ def _dstep_kernel(cc_ref, reals_ref, fake_ref, *refs,
         db1 = jnp.sum(dz1, axis=0, keepdims=True)
 
         # ---- Adam (shared count across the 6 tensors, like optax) ----
-        c1 = cc_ref[e, 0]
-        c2 = cc_ref[e, 1]
+        c1 = cc_ref[0, e, 0]
+        c2 = cc_ref[0, e, 1]
         w1, m1, n1 = _adam(w1, m1, n1, dw1, c1, c2, lr, b1, b2)
         bb1, mb1, nb1 = _adam(bb1, mb1, nb1, db1, c1, c2, lr, b1, b2)
         w2, m2, n2 = _adam(w2, m2, n2, dw2, c1, c2, lr, b1, b2)
@@ -143,8 +145,9 @@ def _dstep_kernel(cc_ref, reals_ref, fake_ref, *refs,
 
 def eligible(cfg, mesh) -> bool:
     """Whether the fused kernel can replace the local-D phase for this
-    config: MLP discriminators only, f32, single-chip, uniform Adam counts
-    (no dropout), supported heads.  The win is ~3x on the D phase at
+    config: MLP discriminators only, f32, single-chip, no dropout (the
+    kernel path implements no participation mask; per-client Adam counts
+    themselves are supported), supported heads.  The win is ~3x on the D phase at
     epoch >= 2 and ~parity at epoch == 1 (benchmarks/pallas_dstep_probe.py);
     with ``cfg.pallas_dstep is None`` (auto) it engages at epoch > 1."""
     if cfg.pallas_dstep is False:
@@ -161,30 +164,33 @@ def eligible(cfg, mesh) -> bool:
     return ok and cfg.epoch > 1
 
 
-def unpack_net(net):
-    """Stacked NetState (flat W leading axis) -> (six, mu6, nu6, count).
+def unpack_net_generic(net):
+    """Stacked NetState (flat leading axis) -> (params, mu, nu, count) as
+    flat per-layer [w, b, w, b, ...] tensor lists, for an MLP with any
+    number of linear layers.
 
-    The MLP D param list is [{w,b}, None, {w,b}, None, {w,b}, None]; the
-    optax.adam state is (ScaleByAdamState, EmptyState) with mu/nu mirroring
-    the param tree and a per-client count vector."""
-    def six_of(tree):
-        lin = [p for p in tree if isinstance(p, dict)]
-        return (lin[0]["w"], lin[0]["b"], lin[1]["w"], lin[1]["b"],
-                lin[2]["w"], lin[2]["b"])
-
-    adam_state = net.opt[0]
-    return (six_of(net.params), six_of(adam_state.mu),
-            six_of(adam_state.nu), adam_state.count)
-
-
-def repack_net(net, six, mu6, nu6, new_count):
-    """Write the kernel's 6-tuples back into the NetState tree structure."""
-    def put(tree, six_):
+    The MLP param list is [{w,b}, None, {w,b}, None, ...]; the optax.adam
+    state is (ScaleByAdamState, EmptyState) with mu/nu mirroring the param
+    tree and a per-member count vector."""
+    def flat_of(tree):
         out = []
-        j = 0
         for p in tree:
             if isinstance(p, dict):
-                out.append({"w": six_[2 * j], "b": six_[2 * j + 1]})
+                out.extend([p["w"], p["b"]])
+        return out
+
+    adam_state = net.opt[0]
+    return (flat_of(net.params), flat_of(adam_state.mu),
+            flat_of(adam_state.nu), adam_state.count)
+
+
+def repack_net_generic(net, flat_p, flat_mu, flat_nu, new_count):
+    """Write flat per-layer tensor lists back into the NetState tree."""
+    def put(tree, flat):
+        out, j = [], 0
+        for p in tree:
+            if isinstance(p, dict):
+                out.append({"w": flat[2 * j], "b": flat[2 * j + 1]})
                 j += 1
             else:
                 out.append(p)
@@ -192,10 +198,21 @@ def repack_net(net, six, mu6, nu6, new_count):
 
     adam_state = net.opt[0]
     new_adam = adam_state._replace(count=new_count,
-                                   mu=put(adam_state.mu, mu6),
-                                   nu=put(adam_state.nu, nu6))
-    return net._replace(params=put(net.params, six),
+                                   mu=put(adam_state.mu, flat_mu),
+                                   nu=put(adam_state.nu, flat_nu))
+    return net._replace(params=put(net.params, flat_p),
                         opt=(new_adam,) + tuple(net.opt[1:]))
+
+
+def unpack_net(net):
+    """3-layer-MLP special case of ``unpack_net_generic`` (6-tuples)."""
+    p, mu, nu, count = unpack_net_generic(net)
+    return tuple(p), tuple(mu), tuple(nu), count
+
+
+def repack_net(net, six, mu6, nu6, new_count):
+    return repack_net_generic(net, list(six), list(mu6), list(nu6),
+                              new_count)
 
 
 def kernel_d_phase(net, shards_flat, starts, fake_flat, cfg,
@@ -214,19 +231,62 @@ def kernel_d_phase(net, shards_flat, starts, fake_flat, cfg,
          for e in range(E)], axis=1)                      # (W, E, B, din)
     six, mu6, nu6, count = unpack_net(net)
     new_p, new_mu, new_nu, _, losses = fused_d_epoch_steps(
-        six, mu6, nu6, count[0], reals, fake_flat, head=head,
+        six, mu6, nu6, count, reals, fake_flat, head=head,
         d_loss_half=d_loss_half, is_image=cfg.is_image,
         lr=cfg.lr_d, b1=cfg.b1, b2=cfg.b2, fake_per_client=fake_per_client)
     return repack_net(net, new_p, new_mu, new_nu, count + E), losses
 
 
-def _bias_corrections(count, E: int, b1: float, b2: float):
-    """(E, 2) array of optax bias corrections for steps count+1 .. count+E,
-    computed with the same int-exponent power optax uses."""
-    counts = jnp.arange(1, E + 1, dtype=jnp.int32) + jnp.asarray(
-        count, jnp.int32)
-    return jnp.stack([1.0 - b1 ** counts, 1.0 - b2 ** counts],
-                     axis=1).astype(jnp.float32)
+def kernel_local_phase(cfg, g_model, g_net, d_net, shards_sk, starts, keys,
+                       multipath: bool, dtype):
+    """Shared kernel-round prelude for the CGL and MD-GAN families: the
+    per-server Xd generation (identical PRNG split order to the XLA
+    ``server_round``: k_zd, k_zg, k_d, k_drop), per-client fake routing
+    (multipath: head i -> client i, mixed-gan.py:247-252; else the full
+    batch to every client), flat-W fused D phase and (S, k) unflatten.
+
+    g_net: stacked (S, ...) NetState; d_net: stacked (S, k, ...) NetState;
+    shards_sk: (S, k, max_len, ...); starts: (epoch,); keys: (S,) PRNG keys.
+    Returns (new_d (S, k), d_loss (W,), gbn1, k_zg, k_drop)."""
+    from cglgan_tpu.algos.common import NetState
+    S, k, max_len = shards_sk.shape[0], shards_sk.shape[1], shards_sk.shape[2]
+    W = S * k
+    B, zdim = cfg.batch_size, cfg.latent_dim
+
+    def gen_xd(gp, gbn, kk):
+        k_zd, k_zg, _k_d, k_drop = jax.random.split(kk, 4)
+        z_d = jax.random.normal(k_zd, (B, zdim), dtype)
+        xd, gbn1 = g_model.apply(gp, gbn, z_d, train=True)
+        return jax.lax.stop_gradient(xd), gbn1, k_zg, k_drop
+
+    xd, gbn1, k_zg, k_drop = jax.vmap(gen_xd)(g_net.params, g_net.bn, keys)
+    din = int(np.prod(cfg.img_shape)) if cfg.is_image else 2
+    if multipath:       # head i's batch -> client i, (S, k, B, ...) flat
+        fake_flat = xd.reshape(W, B, din)
+    else:               # full batch to every client of the server
+        fake_flat = jnp.broadcast_to(
+            xd.reshape(S, 1, B, din), (S, k, B, din)).reshape(W, B, din)
+    d_flat = NetState(*jax.tree.map(
+        lambda x: x.reshape((W,) + x.shape[2:]), tuple(d_net)))
+    new_d_flat, d_loss = kernel_d_phase(
+        d_flat, shards_sk.reshape(W, max_len, -1), starts, fake_flat, cfg,
+        fake_per_client=True)
+    new_d = NetState(*jax.tree.map(
+        lambda x: x.reshape((S, k) + x.shape[1:]), tuple(new_d_flat)))
+    return new_d, d_loss, gbn1, k_zg, k_drop
+
+
+def _bias_corrections(count, W: int, E: int, b1: float, b2: float):
+    """(W, E, 2) per-member optax bias corrections for steps
+    count_w+1 .. count_w+E, computed with the same int-exponent power optax
+    uses.  ``count`` may be a scalar or a (W,) vector — per-member counts
+    can diverge (dropout masking via select_update_tree, FeGAN partial
+    participation), e.g. when resuming such a checkpoint."""
+    counts = jnp.broadcast_to(jnp.asarray(count, jnp.int32).reshape(-1),
+                              (W,))
+    steps = counts[:, None] + jnp.arange(1, E + 1, dtype=jnp.int32)[None, :]
+    return jnp.stack([1.0 - b1 ** steps, 1.0 - b2 ** steps],
+                     axis=2).astype(jnp.float32)
 
 
 def fused_d_epoch_steps(params: Tuple, mu: Tuple, nu: Tuple, count,
@@ -238,7 +298,7 @@ def fused_d_epoch_steps(params: Tuple, mu: Tuple, nu: Tuple, count,
     """Run E local D steps for W clients in one kernel.
 
     params/mu/nu: 6-tuples (w1 (W,din,h1), b1 (W,h1), w2, b2, w3, b3).
-    count: () int32 shared Adam step count (pre-increment).
+    count: () or (W,) int32 per-client Adam step counts (pre-increment).
     reals: (W, E, B, din) — pre-sliced real windows (u8 for images, f32 2dmg).
     fake:  (B, din) shared fakes or (W, B, din) when ``fake_per_client``.
 
@@ -270,7 +330,8 @@ def fused_d_epoch_steps(params: Tuple, mu: Tuple, nu: Tuple, count,
                             memory_space=pltpu.VMEM)
 
     in_specs = (
-        [pl.BlockSpec(memory_space=pltpu.SMEM)]              # bias corr (E,2)
+        [pl.BlockSpec((1, E, 2), lambda i: (i, 0, 0),
+                      memory_space=pltpu.SMEM)]              # bias corr
         + [pl.BlockSpec((1, E, B, din), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)]            # reals
         + [pl.BlockSpec((1, B, din), fake_idx,
@@ -303,7 +364,7 @@ def fused_d_epoch_steps(params: Tuple, mu: Tuple, nu: Tuple, count,
             vmem_limit_bytes=min(128 * 1024 * 1024,
                                  2 * (state_bytes + act_bytes) + (1 << 20))),
         interpret=interpret,
-    )(_bias_corrections(count, E, b1, b2), reals, fake, *tensors)
+    )(_bias_corrections(count, W, E, b1, b2), reals, fake, *tensors)
 
     def drop(six):
         w1_, b1_, w2_, b2_, w3_, b3_ = six

@@ -50,21 +50,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cglgan_tpu.ops.pallas.fused_dstep import _adam
-
-
-def _bias_corrections_per_worker(count, W: int, E: int, b1: float,
-                                 b2: float):
-    """(W, E, 2) optax bias corrections for steps count_w+1 .. count_w+E.
-
-    Unlike the D-epoch kernel, counts here can differ BETWEEN workers:
-    under FeGAN partial participation only sampled members' optimizer
-    state advances, so each worker carries its own Adam step count."""
-    counts = jnp.broadcast_to(jnp.asarray(count, jnp.int32).reshape(-1),
-                              (W,))
-    steps = counts[:, None] + jnp.arange(1, E + 1, dtype=jnp.int32)[None, :]
-    return jnp.stack([1.0 - b1 ** steps, 1.0 - b2 ** steps],
-                     axis=2).astype(jnp.float32)
+from cglgan_tpu.ops.pallas.fused_dstep import (_adam, _bias_corrections,
+                                               repack_net_generic,
+                                               unpack_net_generic)
 
 
 def _mlp_forward(x, wbs, last: str):
@@ -227,40 +215,6 @@ def eligible(cfg, mesh) -> bool:
     return True
 
 
-def _unpack_generic(net):
-    """Stacked NetState -> (flat param tensors [(w,b)...] interleaved,
-    mu, nu, count) for an MLP with any number of linear layers."""
-    def flat_of(tree):
-        out = []
-        for p in tree:
-            if isinstance(p, dict):
-                out.extend([p["w"], p["b"]])
-        return out
-
-    adam_state = net.opt[0]
-    return (flat_of(net.params), flat_of(adam_state.mu),
-            flat_of(adam_state.nu), adam_state.count)
-
-
-def _repack_generic(net, flat_p, flat_mu, flat_nu, new_count):
-    def put(tree, flat):
-        out, j = [], 0
-        for p in tree:
-            if isinstance(p, dict):
-                out.append({"w": flat[2 * j], "b": flat[2 * j + 1]})
-                j += 1
-            else:
-                out.append(p)
-        return out
-
-    adam_state = net.opt[0]
-    new_adam = adam_state._replace(count=new_count,
-                                   mu=put(adam_state.mu, flat_mu),
-                                   nu=put(adam_state.nu, flat_nu))
-    return net._replace(params=put(net.params, flat_p),
-                        opt=(new_adam,) + tuple(net.opt[1:]))
-
-
 def kernel_sweep_phase(g_net, d_net, shards, starts, z1, z2, cfg):
     """Drop-in FedAvg-family local phase over FLAT (W, ...) stacked
     NetStates (params pre-broadcast per worker).
@@ -272,14 +226,14 @@ def kernel_sweep_phase(g_net, d_net, shards, starts, z1, z2, cfg):
     reals = jnp.stack(
         [jax.lax.dynamic_slice_in_dim(shards, starts[e], B, axis=1)
          for e in range(E)], axis=1)                      # (W, E, B, 2)
-    gp, gmu, gnu, gcount = _unpack_generic(g_net)
-    dp, dmu, dnu, dcount = _unpack_generic(d_net)
+    gp, gmu, gnu, gcount = unpack_net_generic(g_net)
+    dp, dmu, dnu, dcount = unpack_net_generic(d_net)
     new_gp, new_gmu, new_gnu, new_dp, new_dmu, new_dnu, dl, gl = \
         fused_sweep_steps(gp, gmu, gnu, gcount, dp, dmu, dnu, dcount,
                           reals, z1, z2, lr_g=cfg.lr_g, lr_d=cfg.lr_d,
                           b1=cfg.b1, b2=cfg.b2)
-    return (_repack_generic(g_net, new_gp, new_gmu, new_gnu, gcount + E),
-            _repack_generic(d_net, new_dp, new_dmu, new_dnu, dcount + E),
+    return (repack_net_generic(g_net, new_gp, new_gmu, new_gnu, gcount + E),
+            repack_net_generic(d_net, new_dp, new_dmu, new_dnu, dcount + E),
             dl, gl)
 
 
@@ -354,8 +308,8 @@ def fused_sweep_steps(g_p: Tuple, g_mu: Tuple, g_nu: Tuple, g_count,
             vmem_limit_bytes=min(128 * 1024 * 1024,
                                  2 * (state_bytes + act_bytes) + (1 << 20))),
         interpret=interpret,
-    )(_bias_corrections_per_worker(g_count, W, E, b1, b2),
-      _bias_corrections_per_worker(d_count, W, E, b1, b2),
+    )(_bias_corrections(g_count, W, E, b1, b2),
+      _bias_corrections(d_count, W, E, b1, b2),
       reals, z1, z2, *tensors)
 
     def drop(ts, ref):

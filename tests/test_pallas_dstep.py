@@ -55,6 +55,36 @@ def _unpack(net):
     return six, mu6, nu6, adam_state.count
 
 
+def test_kernel_per_client_adam_counts():
+    """Per-client bias corrections: counts diverge between clients (e.g. a
+    checkpoint trained with dropout masking, then resumed without) and the
+    kernel must match the per-client optax trajectories, not client 0's."""
+    import jax.numpy as jnp
+    d, opt, net, shard, fake, starts = _setup(1)
+    # give each client a different pre-existing Adam step count
+    counts = jnp.asarray([0, 7, 3], jnp.int32)
+    adam_state = net.opt[0]._replace(count=counts)
+    net = net._replace(opt=(adam_state,) + tuple(net.opt[1:]))
+
+    ref_net, ref_loss = _reference(d, opt, net, shard, fake, starts,
+                                   "sigmoid", False)
+    six, mu6, nu6, count = _unpack(net)
+    reals = jnp.stack([shard[:, s:s + B] for s in starts], axis=1)
+    new_p, _, _, new_count, losses = fused_d_epoch_steps(
+        six, mu6, nu6, count, reals, fake, head="sigmoid",
+        d_loss_half=False, is_image=True, lr=LR, b1=B1, b2=B2,
+        interpret=True)
+
+    ref_six, _, _, ref_count = _unpack(ref_net)
+    for a, b in zip(new_p, ref_six):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(new_count),
+                                  np.asarray(ref_count))
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref_loss),
+                               rtol=1e-5, atol=1e-7)
+
+
 @pytest.mark.parametrize("head,out_dim,half", [
     ("sigmoid", 1, False),          # BCE family (mdgan/acgan/flgan/cgl)
     ("logits2", 2, True),           # CE family (cap/mix MNIST)
