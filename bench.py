@@ -67,7 +67,14 @@ def main():
     dt = time.perf_counter() - t0
     rps = reps * chunk / dt
 
-    baseline, source = measure_baseline_rps()
+    live, source = measure_baseline_rps()
+    # conservative denominator: a loaded host can make the live torch
+    # baseline measure artificially slow, inflating vs_baseline — take the
+    # FASTER of (live, cached) so the reported speedup never benefits from
+    # transient machine contention
+    baseline = max(live, TORCH_CPU_BASELINE_FALLBACK_RPS)
+    if baseline != live:
+        source = f"{source}-floored-at-cached"
     print(json.dumps({
         "metric": "capgan16_mnist_rounds_per_sec",
         "value": round(rps, 2),

@@ -358,6 +358,42 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_fid_stats(args) -> int:
+    """Precompute real-image activation statistics for ``--fid-stats``.
+
+    Loads the dataset (IDX files via --data-dir, else the synthetic glyph
+    bank), runs the active feature extractor (InceptionV3-pool3 with
+    --inception-weights, else the proxy conv embedding the eval path
+    defaults to) over --n images and writes the pytorch-fid-style ``.npz``
+    (mu, sigma).  Companion of ``evalx.inception.load_fid_stats``: the
+    reference computes FID against a live real subsample every tick
+    (FLGAN/MNIST/flgan.py:81-98); precomputed stats make the comparison
+    portable without shipping the dataset."""
+    import numpy as np
+
+    from cglgan_tpu.data.mnist import load_image_dataset
+    from cglgan_tpu.evalx.fid import activation_stats, conv_feature_extractor
+    from cglgan_tpu.evalx.inception import save_fid_stats
+
+    data, _labels = load_image_dataset(args.dataset, args.data_dir)
+    sel = np.random.default_rng(args.seed).permutation(len(data))[:args.n]
+    side = data.shape[-1]
+    imgs = data[sel].astype(np.float32) / 255.0
+    imgs = ((imgs - 0.5) / 0.5).reshape(-1, 1, side, side)
+    if args.inception_weights:
+        from cglgan_tpu.evalx.inception import (inception_extractor,
+                                                load_inception_weights)
+        extractor = inception_extractor(
+            load_inception_weights(args.inception_weights))
+    else:
+        extractor = conv_feature_extractor(side)
+    mu, sigma = activation_stats(extractor, imgs)
+    save_fid_stats(args.out, mu, sigma)
+    print(f"[tpufed] wrote {args.out}: mu ({mu.shape[0]},), "
+          f"sigma {sigma.shape}, {len(imgs)} images")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="tpufed",
                                      description=__doc__.splitlines()[0])
@@ -387,6 +423,17 @@ def main(argv=None) -> int:
     peval.add_argument("--inception-weights", default=None)
     peval.add_argument("--fid-stats", default=None)
     peval.set_defaults(fn=cmd_eval)
+    pstats = sub.add_parser(
+        "fid-stats", help="precompute real-image FID statistics "
+                          "(.npz consumable via run/eval --fid-stats)")
+    pstats.add_argument("--dataset", default="mnist",
+                        choices=[d for d in DATASETS if d != "2dmg"])
+    pstats.add_argument("--data-dir", default=None)
+    pstats.add_argument("--n", type=int, default=10000)
+    pstats.add_argument("--seed", type=int, default=20211212)
+    pstats.add_argument("--inception-weights", default=None)
+    pstats.add_argument("--out", required=True, help="output .npz path")
+    pstats.set_defaults(fn=cmd_fid_stats)
     args = parser.parse_args(argv)
     return args.fn(args)
 

@@ -48,6 +48,30 @@ class TestCLI:
         assert out.returncode == 0, out.stderr[-2000:]
         assert "mesh {'clients': 8}" in out.stdout
 
+    def test_fid_stats_roundtrip(self, tmp_path):
+        """fid-stats writes a (mu, sigma) npz that run --fid-stats consumes
+        (the precomputed-real-statistics path of the FID pipeline)."""
+        stats = tmp_path / "stats.npz"
+        out = run_cli(["fid-stats", "--dataset", "synthetic-mnist",
+                       "--n", "300", "--out", str(stats)])
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert stats.exists()
+        import numpy as np
+        z = np.load(stats)
+        assert z["mu"].shape == (256,) and z["sigma"].shape == (256, 256)
+        out = run_cli(["run", "mdgan", "--dataset", "synthetic-mnist",
+                       "--num-workers", "4", "--num-class", "10",
+                       "--num-sample", "64", "--batch-size", "32",
+                       "--rounds", "4", "--num-plt", "4",
+                       "--ckpt-every", "0", "--platform", "cpu",
+                       "--fid-stats", str(stats),
+                       "--out", str(tmp_path), "--name", "t3"])
+        assert out.returncode == 0, out.stderr[-2000:]
+        ticks = [json.loads(l) for l in
+                 (tmp_path / "t3" / "metrics.jsonl")
+                 .read_text().strip().split("\n")]
+        assert "fid" in ticks[-1]
+
     def test_bad_args(self):
         out = run_cli(["run", "nope"], timeout=60)
         assert out.returncode != 0
