@@ -28,6 +28,11 @@ import jax.numpy as jnp
 Params = Dict
 State = Dict
 
+# torch's BatchNorm default momentum; the reference's positional 0.8 is eps,
+# not momentum (model/mnist_model.py:13).  Exposed as a constant so round
+# code can compose multi-forward running-stat updates in closed form.
+BN_MOMENTUM = 0.1
+
 # ---------------------------------------------------------------------------
 # layer init
 # ---------------------------------------------------------------------------
@@ -113,7 +118,7 @@ def upsample2x(x):
 
 
 def batchnorm(p: Params, s: State, x, train: bool, eps: float = 0.8,
-              momentum: float = 0.1) -> Tuple[jax.Array, State]:
+              momentum: float = BN_MOMENTUM) -> Tuple[jax.Array, State]:
     """BatchNorm over all axes but the channel axis.
 
     1-D inputs (B, C) normalise over B; 2-D image inputs (B, C, H, W)
