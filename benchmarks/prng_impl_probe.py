@@ -51,5 +51,11 @@ if __name__ == "__main__":
         print(f"{impl}: {measure(impl):8.1f} rounds/s")
     else:
         import subprocess
-        for i in ("threefry2x32", "rbg", "unsafe_rbg"):
-            subprocess.run([sys.executable, __file__, i])
+        # plain "rbg" is excluded from the default sweep: its 200-round scan
+        # never finished compiling within 5 min on the axon backend (see
+        # PERF.md) — run `python benchmarks/prng_impl_probe.py rbg` to retry
+        # it explicitly
+        for i in ("threefry2x32", "unsafe_rbg"):
+            r = subprocess.run([sys.executable, __file__, i], timeout=600)
+            if r.returncode != 0:
+                print(f"{i}: FAILED (rc={r.returncode})")

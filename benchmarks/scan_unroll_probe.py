@@ -15,20 +15,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
-
-
-def scan_rounds_unrolled(round_fn, n: int, unroll: int):
-    def body(state, _):
-        state, m = round_fn(state)
-        return state, m
-
-    @jax.jit
-    def run(state):
-        state, ms = jax.lax.scan(body, state, None, length=n, unroll=unroll)
-        return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
-
-    return run
 
 
 def measure(run, state, chunk, reps=5):
@@ -43,6 +29,7 @@ def measure(run, state, chunk, reps=5):
 
 def main():
     from cglgan_tpu.algos.registry import build_runner
+    from cglgan_tpu.algos.runner import scan_rounds
     from cglgan_tpu.core.config import FedGANConfig
 
     cfg = FedGANConfig(algo="capgan", dataset="synthetic-mnist",
@@ -52,7 +39,7 @@ def main():
     chunk = 200
     for unroll in (1, 2, 4, 8):
         state = runner.init_state()
-        run = scan_rounds_unrolled(runner.round_fn, chunk, unroll)
+        run = scan_rounds(runner.round_fn, chunk, unroll=unroll)
         t0 = time.perf_counter()
         rps, _ = measure(run, state, chunk)
         print(f"unroll={unroll}: {rps:8.1f} rounds/s   "

@@ -28,16 +28,17 @@ class Runner(NamedTuple):
     extras: Optional[Dict[str, Any]] = None
 
 
-def scan_rounds(round_fn, n: int):
+def scan_rounds(round_fn, n: int, unroll: int = 1):
     """Fuse ``n`` rounds into one compiled scan; metrics are averaged on
-    device so only scalars cross back to the host."""
+    device so only scalars cross back to the host.  ``unroll`` is exposed
+    for benchmarking only — measured slower at every k>1 (PERF.md)."""
     def body(state, _):
         state, m = round_fn(state)
         return state, m
 
     @jax.jit
     def run(state):
-        state, ms = jax.lax.scan(body, state, None, length=n)
+        state, ms = jax.lax.scan(body, state, None, length=n, unroll=unroll)
         return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
 
     return run

@@ -375,8 +375,16 @@ def cmd_fid_stats(args) -> int:
     from cglgan_tpu.evalx.fid import activation_stats, conv_feature_extractor
     from cglgan_tpu.evalx.inception import save_fid_stats
 
+    if args.data_dir is None and args.dataset in ("mnist", "fashion-mnist"):
+        print(f"[tpufed] WARNING: no --data-dir given for {args.dataset}; "
+              "computing stats over the synthetic glyph bank — only valid "
+              "against runs using the same synthetic fallback")
     data, _labels = load_image_dataset(args.dataset, args.data_dir)
     sel = np.random.default_rng(args.seed).permutation(len(data))[:args.n]
+    if args.conv:
+        # conv runs train and evaluate at the 2px-zero-padded resolution
+        # (algos/registry.py:32-33); stats must be computed at the same side
+        data = np.pad(data, ((0, 0), (2, 2), (2, 2)))
     side = data.shape[-1]
     imgs = data[sel].astype(np.float32) / 255.0
     imgs = ((imgs - 0.5) / 0.5).reshape(-1, 1, side, side)
@@ -388,7 +396,7 @@ def cmd_fid_stats(args) -> int:
     else:
         extractor = conv_feature_extractor(side)
     mu, sigma = activation_stats(extractor, imgs)
-    save_fid_stats(args.out, mu, sigma)
+    save_fid_stats(args.out, mu, sigma, side=side)
     print(f"[tpufed] wrote {args.out}: mu ({mu.shape[0]},), "
           f"sigma {sigma.shape}, {len(imgs)} images")
     return 0
@@ -432,6 +440,10 @@ def main(argv=None) -> int:
     pstats.add_argument("--n", type=int, default=10000)
     pstats.add_argument("--seed", type=int, default=20211212)
     pstats.add_argument("--inception-weights", default=None)
+    pstats.add_argument("--conv", action="store_true",
+                        help="compute stats at the 2px-padded resolution "
+                             "conv runs evaluate at (pass iff the consuming "
+                             "run uses --conv)")
     pstats.add_argument("--out", required=True, help="output .npz path")
     pstats.set_defaults(fn=cmd_fid_stats)
     args = parser.parse_args(argv)

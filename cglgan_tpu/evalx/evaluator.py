@@ -81,7 +81,7 @@ def make_evaluator(cfg, part, eval_n: Optional[int] = None,
 
     if fid_stats:
         from cglgan_tpu.evalx.inception import load_fid_stats
-        mu_r, cov_r = load_fid_stats(fid_stats)
+        mu_r, cov_r = load_fid_stats(fid_stats, expect_side=side)
         if mu_r.shape[0] != feat_dim:
             raise ValueError(
                 f"--fid-stats has {mu_r.shape[0]}-d features but the active "

@@ -313,18 +313,27 @@ def inception_extractor(params=None, key=None) -> Extractor:
     return Extractor(params, apply)
 
 
-def load_fid_stats(path: str):
+def load_fid_stats(path: str, expect_side: int = None):
     """Precomputed real-image activation statistics: an ``.npz`` with ``mu``
     (D,) and ``sigma`` (D, D) — the standard pytorch-fid stats format — so
     reference-comparable FID can be computed without shipping the real
-    dataset."""
+    dataset.  ``tpufed fid-stats`` additionally records the image side the
+    stats were computed at; when present and ``expect_side`` is given, a
+    mismatch (e.g. 28px stats consumed by a 32px ``--conv`` run) raises
+    instead of silently biasing FID."""
     z = np.load(path)
     mu = np.asarray(z["mu"], np.float64)
     sigma = np.asarray(z["sigma"] if "sigma" in z else z["cov"], np.float64)
     if mu.ndim != 1 or sigma.shape != (mu.shape[0], mu.shape[0]):
         raise ValueError(f"bad stats shapes mu{mu.shape} sigma{sigma.shape}")
+    if expect_side is not None and "side" in z and int(z["side"]) != expect_side:
+        raise ValueError(
+            f"stats in {path} were computed on {int(z['side'])}px images but "
+            f"this run evaluates at {expect_side}px — regenerate with "
+            f"`tpufed fid-stats{' --conv' if expect_side > int(z['side']) else ''}`")
     return mu, sigma
 
 
-def save_fid_stats(path: str, mu, sigma) -> None:
-    np.savez(path, mu=np.asarray(mu), sigma=np.asarray(sigma))
+def save_fid_stats(path: str, mu, sigma, side: int = None) -> None:
+    extra = {} if side is None else {"side": np.int64(side)}
+    np.savez(path, mu=np.asarray(mu), sigma=np.asarray(sigma), **extra)

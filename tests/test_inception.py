@@ -64,6 +64,18 @@ class TestInception:
         np.testing.assert_array_equal(mu, mu2)
         np.testing.assert_array_equal(sigma, sigma2)
 
+    def test_fid_stats_side_guard(self, tmp_path):
+        """Stats recorded at 28px must be rejected by a 32px (--conv) run;
+        legacy npz without a side field stays loadable."""
+        path = str(tmp_path / "stats.npz")
+        save_fid_stats(path, np.zeros(4), np.eye(4), side=28)
+        load_fid_stats(path, expect_side=28)          # matching: fine
+        with pytest.raises(ValueError, match="28px.*32px"):
+            load_fid_stats(path, expect_side=32)
+        legacy = str(tmp_path / "legacy.npz")
+        save_fid_stats(legacy, np.zeros(4), np.eye(4))
+        load_fid_stats(legacy, expect_side=32)        # no side: accepted
+
 
 class TestEvaluatorUnification:
     def test_train_returns_fid_on_image_config(self):
