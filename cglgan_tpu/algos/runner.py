@@ -74,19 +74,46 @@ def train(runner: Runner,
         from cglgan_tpu.evalx.evaluator import make_evaluator
         evaluator = make_evaluator(cfg, runner.part, eval_n=eval_n)
 
-    chunk = scan_rounds(runner.round_fn, eval_every)
-    chunk_n = eval_every
+    # Scan piece size: fuse at most `piece` rounds into one device program.
+    # One program per eval interval is fastest, but a single XLA execution
+    # must stay bounded in wall time — the heavy ragged-epochs local sweeps
+    # (~115 interleaved D/G steps per round on the reference MNIST shards)
+    # at num_plt=2000 produced a ~7-minute program that crashed the TPU
+    # worker.  Auto (scan_rounds=0) budgets ~10k local steps per program
+    # (tens of seconds at worst); scan_rounds>0 overrides explicitly.
+    if cfg.scan_rounds and cfg.scan_rounds > 0:
+        piece = cfg.scan_rounds
+    else:
+        if cfg.resolved_local_sweep == "epochs":
+            steps = max(1, cfg.epoch) * -(-runner.part.data.shape[1]
+                                          // cfg.batch_size)
+        else:
+            steps = max(1, cfg.epoch)
+        piece = max(1, min(eval_every, 10000 // steps))
+
+    chunks: Dict[int, Callable] = {}
+
+    def run_chunk(n: int):
+        if n not in chunks:
+            chunks[n] = scan_rounds(runner.round_fn, n)
+        return chunks[n]
 
     history: List[Dict] = []
     t0 = time.perf_counter()
     done = 0
     while done < rounds:
-        n = min(eval_every, rounds - done)   # never overshoot `rounds`
-        if n != chunk_n:
-            chunk = scan_rounds(runner.round_fn, n)
-            chunk_n = n
-        state, metrics = chunk(state)
-        done += n
+        interval = min(eval_every, rounds - done)   # never overshoot
+        left, acc = interval, None
+        while left > 0:
+            n = min(piece, left)
+            state, m = run_chunk(n)(state)
+            # weight each piece's on-device mean by its length; scalars
+            # only cross to the host once per tick
+            acc = jax.tree.map(lambda x: x * n, m) if acc is None else \
+                jax.tree.map(lambda a, x: a + x * n, acc, m)
+            left -= n
+        metrics = jax.tree.map(lambda a: a / interval, acc)
+        done += interval
         tick: Dict[str, Any] = {k: float(v) for k, v in metrics.items()}
         tick["round"] = int(state.t) if hasattr(state, "t") else done
         if evaluator:

@@ -85,6 +85,26 @@ class TestMultipathRouting:
         assert not np.allclose(delta[0], delta[1])
 
 
+class TestScanPieces:
+    def test_piecewise_scan_matches_single_chunk(self):
+        """train() splits an eval interval into scan_rounds-bounded device
+        programs (the ragged-epochs sweeps crashed the TPU worker when the
+        whole interval compiled into one ~7-minute program); piecewise
+        execution must be bit-identical to the fused scan, with the same
+        per-tick averaged metrics."""
+        import dataclasses
+        cfg = tiny_cfg("flgan", num_communication=12, num_plt=6)
+        o1 = train(build_runner(cfg), rounds=12, eval_every=6)
+        cfg2 = dataclasses.replace(cfg, scan_rounds=4)   # 6 = 4 + 2 pieces
+        o2 = train(build_runner(cfg2), rounds=12, eval_every=6)
+        for a, b in zip(jax.tree.leaves(o1["state"]),
+                        jax.tree.leaves(o2["state"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for t1, t2 in zip(o1["history"], o2["history"]):
+            assert t1["round"] == t2["round"]
+            assert abs(t1["d_loss"] - t2["d_loss"]) < 1e-6
+
+
 @pytest.mark.slow
 class TestConvergence:
     def test_flgan_2dmg_learns(self):
