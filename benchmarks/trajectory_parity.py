@@ -277,7 +277,10 @@ class TorchCGLTwin:
         """Weighted trunk average + sigma-mix every cloud_epoch rounds
         (CGLGAN/MNIST/main.py:100-112,177-184)."""
         cfg, torch = self.cfg, self.torch
-        if cfg.cloud_epoch <= 0 or t % max(cfg.cloud_epoch, 1) != 0:
+        # countdown phase: the reference syncs when (T - i) % period == 0
+        # (CGLGAN/MNIST/main.py:166,177)
+        if cfg.cloud_epoch <= 0 or \
+                (cfg.num_communication - t) % max(cfg.cloud_epoch, 1) != 0:
             return
         with torch.no_grad():
             avg_w = sum(float(self.a_w[s]) * self.G[s].trunk[0].weight
@@ -433,20 +436,23 @@ class TorchCAPGANTwin:
         cfg, torch = self.cfg, self.torch
         if cfg.cloud_epoch <= 0:
             return
-        mask = (t % self.periods) == 0                          # (S,)
+        # countdown phase (capgan.py:155,169); fedlab serialize_model moves
+        # model.parameters() ONLY (capgan.py:170-175) — state_dict buffers
+        # (none for this MLP G) would be wrong here
+        mask = ((cfg.num_communication - t) % self.periods) == 0  # (S,)
         if not mask.any():
             return
         wts = self.a_w * mask
         wts = wts / wts.sum()
         with torch.no_grad():
-            sds = [g.state_dict() for g in self.G]
-            avg = {k_: sum(float(wts[s]) * sds[s][k_]
+            pds = [dict(g.named_parameters()) for g in self.G]
+            avg = {k_: sum(float(wts[s]) * pds[s][k_]
                            for s in range(self.S) if wts[s] > 0)
-                   for k_ in sds[0]}
+                   for k_ in pds[0]}
             for s in range(self.S):
                 if not mask[s]:
                     continue
-                for k_, v in sds[s].items():
+                for k_, v in pds[s].items():
                     v.copy_(cfg.segema * v + (1 - cfg.segema) * avg[k_])
 
     def round(self, t, starts, z_d, z_g):
@@ -618,24 +624,25 @@ class TorchCAPGANMNISTTwin(TorchCAPGANTwin):
         cfg, torch = self.cfg, self.torch
         if cfg.cloud_epoch <= 0:
             return
-        mask = (t % self.periods) == 0
+        # countdown phase (capgan.py:155,169)
+        mask = ((cfg.num_communication - t) % self.periods) == 0
         if not mask.any():
             return
         wts = self.a_w * mask
         wts = wts / wts.sum()
         with torch.no_grad():
-            sds = [g.state_dict() for g in self.G]
-            # skip 0-dim buffers as copy_parameters does
-            # (CGLGAN/MNIST/main.py:140-145 — num_batches_tracked)
-            keys = [k_ for k_ in sds[0] if sds[0][k_].dim() > 0]
-            avg = {k_: sum(float(wts[s]) * sds[s][k_]
+            # fedlab serialize_model transports model.parameters() ONLY
+            # (capgan.py:170-175): BN running_mean/var stay LOCAL to each
+            # server — unlike cglgan's copy_parameters state_dict walk
+            pds = [dict(g.named_parameters()) for g in self.G]
+            avg = {k_: sum(float(wts[s]) * pds[s][k_]
                            for s in range(self.S) if wts[s] > 0)
-                   for k_ in keys}
+                   for k_ in pds[0]}
             for s in range(self.S):
                 if not mask[s]:
                     continue
-                for k_ in keys:
-                    v = sds[s][k_]
+                for k_ in pds[s]:
+                    v = pds[s][k_]
                     v.copy_(cfg.segema * v + (1 - cfg.segema) * avg[k_])
 
     def round(self, t, starts, z_d, z_g):

@@ -188,6 +188,13 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
         return new_g, new_d, game.lam_new, metrics
 
     # ------------------------------------------------------------------
+    # capgan syncs via fedlab SerializationTool.serialize_model, which
+    # serializes model.parameters() ONLY (capgan.py:170-175) — each server's
+    # G BatchNorm running stats stay local.  cglgan/mixgan sync via
+    # copy_parameters (a state_dict walk minus 0-dim tensors,
+    # CGLGAN/MNIST/main.py:140-145), which DOES move BN buffers.
+    sync_bn = algo != "capgan"
+
     def cloud_sync(g: NetState, t):
         """Weighted trunk (or full-G) average + sigma-mix, per-server cadence
         mask (CGLGAN/MNIST/main.py:100-112,177-184)."""
@@ -200,8 +207,12 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
                 return out
             return sub
 
-        sync_mask = (t % periods_dev) == 0          # (S,)
-        payload = (scope(g.params), scope(g.bn))
+        # the reference counts t DOWN from num_communication and syncs when
+        # that countdown is divisible by the period (capgan.py:155,169;
+        # CGLGAN/MNIST/main.py:166,177) — round index i maps to T - i
+        sync_mask = ((cfg.num_communication - t) % periods_dev) == 0   # (S,)
+        payload = (scope(g.params), scope(g.bn)) if sync_bn \
+            else (scope(g.params),)
         avg = collectives.masked_weighted_avg_tree(payload, a_weights,
                                                    sync_mask.astype(jnp.float32))
         avg_b = jax.tree.map(
@@ -210,7 +221,7 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
         mixed = collectives.select_update_tree(
             payload, mixed, sync_mask.astype(jnp.float32))
         new_params = put(g.params, mixed[0])
-        new_bn = put(g.bn, mixed[1])
+        new_bn = put(g.bn, mixed[1]) if sync_bn else g.bn
         return NetState(new_params, new_bn, g.opt)
 
     max_len = part.data.shape[1]

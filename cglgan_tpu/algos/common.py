@@ -91,7 +91,9 @@ def batch_start(key, max_len: int, batch_size: int):
 def slice_batch(shard, start, batch_size: int):
     """Contiguous window [start, start+B) of one client's pre-shuffled shard.
     Under vmap with an unbatched ``start`` this is one sliced load for all
-    clients.  Equivalent to a shuffle-once DataLoader epoch draw."""
+    clients.  Approximately uniform sampling WITH replacement across steps —
+    a deliberate delta from the reference's no-repeat-per-epoch DataLoader
+    draw (docs/MIGRATION.md "Semantics that intentionally differ" #5)."""
     return jax.lax.dynamic_slice_in_dim(shard, start, batch_size, axis=0)
 
 

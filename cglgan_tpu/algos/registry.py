@@ -49,6 +49,12 @@ def build_runner(cfg: FedGANConfig, part: Optional[Partition] = None,
     per-client state and data shards are placed split over it."""
     if part is None:
         part = load_partition(cfg)
+    if cfg.pallas_sweep is True:
+        # validate the forced flag for EVERY algo: eligible() raises for
+        # ineligible configs, so e.g. `tpufed run cglgan --pallas-sweep on`
+        # errors instead of silently running the XLA path
+        from cglgan_tpu.ops.pallas import fused_sweep
+        fused_sweep.eligible(cfg, mesh)
     if cfg.algo in ("flgan",):
         from cglgan_tpu.algos.fedavg_family import build_flgan
         return build_flgan(cfg, part, mesh)

@@ -333,15 +333,15 @@ def cmd_eval(args) -> int:
     run_dir = os.path.dirname(os.path.abspath(args.checkpoint))
     with open(os.path.join(run_dir, "config.json")) as f:
         cfg = FedGANConfig(**json.load(f))
-    runner = build_runner(cfg)
+    from cglgan_tpu.algos.registry import load_partition
+    from cglgan_tpu.evalx.evaluator import make_evaluator
+    part = load_partition(cfg)   # loaded once, shared with the runner
+    runner = build_runner(cfg, part)
     state = restore_checkpoint(args.checkpoint, runner.init_state())
     print(f"[tpufed] checkpoint at round {int(state.t)}")
     samples = np.asarray(runner.sample(state, args.n))
     out = args.out or os.path.join(run_dir, f"eval_{int(state.t)}")
     report = {"round": int(state.t), "n": args.n}
-    from cglgan_tpu.algos.registry import load_partition
-    from cglgan_tpu.evalx.evaluator import make_evaluator
-    part = load_partition(cfg)
     if cfg.is_image:
         side = cfg.img_size + 4 if cfg.conv else cfg.img_size
         save_image_grid(samples.reshape(-1, 1, side, side)[:100],

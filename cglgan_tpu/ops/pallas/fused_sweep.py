@@ -207,11 +207,18 @@ def eligible(cfg, mesh) -> bool:
     ok = (cfg.algo in ("flgan", "fegan") and cfg.dataset == "2dmg"
           and not cfg.conv and cfg.dtype == "float32" and mesh is None
           and cfg.dropout_rate == 0.0
-          and cfg.resolved_local_sweep == "batches")
+          and cfg.resolved_local_sweep == "batches"
+          # the kernel hardcodes a sigmoid+BCE loss; a library caller's
+          # d_head override would silently diverge without this gate
+          and cfg.resolved_d_head == "sigmoid"
+          # the kernel statically unrolls all E iterations -> O(E) Mosaic
+          # program; cap forced compiles at a sane bound
+          and cfg.epoch <= 32)
     if not ok:
         raise ValueError(
             "pallas_sweep=True requires a 2DMG flgan/fegan config with "
-            "float32, no --devices mesh and no dropout")
+            "float32, a sigmoid D head, epoch <= 32 (the kernel unrolls "
+            "all E local iterations), no --devices mesh and no dropout")
     return True
 
 

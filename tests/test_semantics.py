@@ -41,27 +41,77 @@ class TestFeGANPartialParticipation:
 
 
 class TestCapCloudCadence:
-    def test_period_scales_with_data(self):
-        """capgan syncs every data_len*cloud_epoch/batch_size rounds
-        (capgan.py:169): with period > num rounds, servers never mix."""
-        # 2 servers with different data -> different periods; segema=0 means a
-        # sync fully replaces the local G with the weighted average
-        cfg = cfg_for("capgan", num_workers=4, num_servers=2, cloud_epoch=1)
+    def _periods(self, cfg, r):
+        from cglgan_tpu.fed import topology
+        dl = topology.server_data_len(r.part.lengths, cfg.num_servers)
+        return np.maximum(
+            1, (dl * cfg.cloud_epoch / cfg.batch_size).astype(np.int64))
+
+    def test_period_scales_with_data_countdown_phase(self):
+        """capgan syncs every data_len*cloud_epoch/batch_size rounds on the
+        reference's COUNTDOWN counter (capgan.py:155,169): round i fires iff
+        (num_communication - i) % period == 0."""
+        # iid=0 -> equal shards -> both servers share one period p; pick
+        # num_communication = p so the first round fires, and p+1 so it
+        # does not (phase check)
+        probe = cfg_for("capgan", num_workers=4, num_servers=2,
+                        cloud_epoch=1, iid=0)
+        p = int(self._periods(probe, build_runner(probe))[0])
+        assert p > 1   # several rounds of data per sync at this scale
+
+        def first_round(T, cloud_epoch=1):
+            cfg = cfg_for("capgan", num_workers=4, num_servers=2,
+                          cloud_epoch=cloud_epoch, iid=0,
+                          num_communication=T)
+            r = build_runner(cfg)
+            s1, _ = jax.jit(r.round_fn)(r.init_state())
+            return np.asarray(jax.tree.leaves(s1.g.params)[0])
+
+        base = first_round(p, cloud_epoch=0)       # cloud off
+        fired = first_round(p)                     # (p - 0) % p == 0: sync
+        not_fired = first_round(p + 1)             # (p+1 - 0) % p != 0
+        assert not np.allclose(fired, base), \
+            "sync at countdown-divisible round must change training"
+        np.testing.assert_allclose(not_fired, base, rtol=1e-6,
+                                   err_msg="no sync off-phase")
+
+    def test_capgan_sync_moves_params_not_bn_buffers(self):
+        """fedlab serialize_model transports parameters only
+        (capgan.py:170-175): a capgan cloud sync must leave each server's G
+        BN running stats local (untouched by the mix)."""
+        # MNIST-shaped capgan so G has BN buffers; equal shards, sync at t=0
+        base = dict(algo="capgan", dataset="synthetic-mnist", num_workers=4,
+                    num_servers=2, num_class=10, num_sample=64, iid=0,
+                    batch_size=32, num_plt=4, segema=0.0)
+        probe = FedGANConfig(num_communication=8, **base)
+        r = build_runner(probe)
+        from cglgan_tpu.fed import topology
+        dl = topology.server_data_len(r.part.lengths, 2)
+        p = int(np.maximum(1, (dl[0] * 1 / 32)))
+        cfg = FedGANConfig(num_communication=p, **base)
         r = build_runner(cfg)
-        s = r.init_state()
-        # period_s = data_len_s/32 ~ several rounds; at t=0 every server
-        # syncs (t % p == 0) -> both servers' G params equal afterwards
-        s1, _ = jax.jit(r.round_fn)(s)
-        # The cloud ran BEFORE training at t=0, so post-round params differ
-        # again (each trained on its own clients); instead verify via a
-        # second build with cloud off that t=0 sync actually mixed.
-        cfg_off = cfg_for("capgan", num_workers=4, num_servers=2,
-                          cloud_epoch=0)
-        r_off = build_runner(cfg_off)
-        s1_off, _ = jax.jit(r_off.round_fn)(r_off.init_state())
-        a = np.asarray(jax.tree.leaves(s1.g.params)[0])
-        b = np.asarray(jax.tree.leaves(s1_off.g.params)[0])
-        assert not np.allclose(a, b), "t=0 cloud sync must change training"
+        s0 = r.init_state()
+
+        # divergent per-server BN stats before the sync round
+        bn0 = jax.tree.map(
+            lambda x: x + jnp.arange(2, dtype=x.dtype).reshape(
+                (2,) + (1,) * (x.ndim - 1)), s0.g.bn)
+        from cglgan_tpu.algos.common import FedState, NetState
+        s0 = FedState(NetState(s0.g.params, bn0, s0.g.opt), s0.d, s0.lam,
+                      s0.t)
+        s1, _ = jax.jit(r.round_fn)(s0)
+        # params DID mix at t=0 (segema=0 -> both servers equal pre-train),
+        # which we see indirectly: BN buffers must NOT have been averaged.
+        # The round's own training advances BN stats identically per server
+        # only if inputs matched; with distinct shards they differ -> check
+        # the *delta* from each server's own pre-round stats is small
+        # relative to the 1.0 offset an average would have moved server 1 by.
+        for l0, l1 in zip(jax.tree.leaves(bn0), jax.tree.leaves(s1.g.bn)):
+            drift = np.abs(np.asarray(l1) - np.asarray(l0)).max(
+                axis=tuple(range(1, l0.ndim)))
+            # an averaging sync would pull server 0 and 1 together by ~0.5
+            # (their offset is 1.0); training drift in one round is tiny
+            assert (drift < 0.4).all(), drift
 
     def test_cloud_epoch_zero_disables_sync(self):
         """cloud_epoch=0: the cloud returns immediately (capgan.py:106-107)."""
