@@ -39,6 +39,27 @@ class TestFeGANPartialParticipation:
         assert sk.shape == (4,)
         assert (sk >= 0).all()     # KL scores are non-negative
 
+    def test_gather_path_matches_full_width_mesh_path(self):
+        """The single-chip group-gather (train only sampled lanes, scatter
+        back) must be numerically identical to the sharded full-width
+        masked path over a multi-round trajectory."""
+        from cglgan_tpu.core.meshes import fed_mesh
+        cfg = cfg_for("fegan", frac_workers=0.5, num_workers=4)
+        r_gather = build_runner(cfg)            # mesh=None -> gather mode
+        r_full = build_runner(cfg, mesh=fed_mesh(4))
+        s_a, s_b = r_gather.init_state(), r_full.init_state()
+        step_a = jax.jit(r_gather.round_fn)
+        step_b = jax.jit(r_full.round_fn)
+        for _ in range(6):
+            s_a, m_a = step_a(s_a)
+            s_b, m_b = step_b(s_b)
+        for la, lb in zip(jax.tree.leaves((s_a.g, s_a.d)),
+                          jax.tree.leaves((s_b.g, s_b.d))):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       rtol=2e-5, atol=1e-6)
+        assert np.isclose(float(m_a["d_loss"]), float(m_b["d_loss"]),
+                          rtol=1e-4)
+
 
 class TestCapCloudCadence:
     def _periods(self, cfg, r):
