@@ -83,6 +83,20 @@ def _plan_buckets(steps: np.ndarray, max_buckets: int = 4):
     return segs if len(segs) > 1 else None
 
 
+def _sweep_buckets(make_worker, vmapped_args, buckets, bucket_inv, starts):
+    """Run one vmapped sweep per step-count bucket and reassemble in worker
+    order.  ``make_worker(starts_mb, mb)`` returns the per-lane function;
+    ``vmapped_args`` is a tuple of stacked (W, ...) trees to gather per
+    bucket."""
+    outs = []
+    for idx, mb in buckets:
+        idx_dev = jnp.asarray(idx)
+        outs.append(jax.vmap(make_worker(starts[:mb], mb))(
+            *[jax.tree.map(lambda x: x[idx_dev], a) for a in vmapped_args]))
+    return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0)[bucket_inv],
+                        *outs)
+
+
 def _local_sweep(cfg, g_model, d_model, adv, opt_g, opt_d):
     """One worker's local round: ``steps`` iterations of (D step on real +
     fresh fake, unhalved; then G step) — the reference worker train loop
@@ -237,22 +251,18 @@ def build_flgan(cfg: FedGANConfig, part: Partition,
         elif buckets is not None:
             # one scan per step-count bucket: each runs only bucket_max
             # iterations instead of the global max (the waste VERDICT r2
-            # weak #3 measured at ~2/3 of the lane-steps)
-            outs = []
-            for idx, mb in buckets:
-                idx_dev = jnp.asarray(idx)
-
-                def worker(gopt, dopt, shard, step_i, k, _mb=mb):
+            # weak #3 measured at ~2/3 of the lane-steps; 4.09x end-to-end
+            # on the 16-worker iid=1 MNIST workload, PERF.md)
+            def make_worker(st, mb):
+                def worker(gopt, dopt, shard, step_i, k):
                     return sweep(state.g.params, state.g.bn, gopt,
                                  state.d.params, state.d.bn, dopt,
-                                 shard, starts[:_mb], step_i, _mb, k)
+                                 shard, st, step_i, mb, k)
+                return worker
 
-                outs.append(jax.vmap(worker)(
-                    jax.tree.map(lambda x: x[idx_dev], state.g.opt),
-                    jax.tree.map(lambda x: x[idx_dev], state.d.opt),
-                    shards[idx_dev], steps[idx_dev], keys[idx_dev]))
-            (gp, gbn, gopt, dp, dbn, dopt), d_loss, g_loss = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=0)[bucket_inv], *outs)
+            (gp, gbn, gopt, dp, dbn, dopt), d_loss, g_loss = _sweep_buckets(
+                make_worker, (state.g.opt, state.d.opt, shards, steps, keys),
+                buckets, bucket_inv, starts)
         else:
             def worker(gopt, dopt, shard, step_i, k):
                 return sweep(state.g.params, state.g.bn, gopt,
@@ -340,6 +350,14 @@ def build_fegan(cfg: FedGANConfig, part: Partition,
     # gather would lower to an all-gather and break the even lane layout.
     gather_mode = (mesh is None and not use_kernel
                    and schedule.shape[1] < W)
+    # full participation (gp_size == W): the ragged "epochs" sweep buckets
+    # by static step count instead, exactly like flgan
+    steps_np = _local_steps(cfg, part.lengths)
+    buckets = _plan_buckets(steps_np) \
+        if mesh is None and not use_kernel and not gather_mode else None
+    if buckets is not None:
+        bucket_order = np.concatenate([idx for idx, _ in buckets])
+        bucket_inv = jnp.asarray(np.argsort(bucket_order))
 
     def init_state():
         kg = prng.for_role(root, prng.ROLE_INIT_G)
@@ -438,7 +456,18 @@ def build_fegan(cfg: FedGANConfig, part: Partition,
             gp, gopt, dp, dopt, d_loss, g_loss = _kernel_sweep_all(
                 cfg, state, shards, starts, keys)
             gbn, dbn = state.g.bn, state.d.bn   # already stacked; no BN in
-        else:                                   # the 2DMG MLPs
+        elif buckets is not None:               # the 2DMG MLPs
+            def make_worker(st, mb):
+                def worker(gbn, gopt, dbn, dopt, shard, step_i, k):
+                    return sweep(state.g.params, gbn, gopt, state.d.params,
+                                 dbn, dopt, shard, st, step_i, mb, k)
+                return worker
+
+            (gp, gbn, gopt, dp, dbn, dopt), d_loss, g_loss = _sweep_buckets(
+                make_worker, (state.g.bn, state.g.opt, state.d.bn,
+                              state.d.opt, shards, steps, keys),
+                buckets, bucket_inv, starts)
+        else:
             def worker(gbn, gopt, dbn, dopt, shard, step_i, k):
                 return sweep(state.g.params, gbn, gopt, state.d.params, dbn,
                              dopt, shard, starts, step_i, max_steps, k)

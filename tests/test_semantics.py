@@ -39,6 +39,48 @@ class TestFeGANPartialParticipation:
         assert sk.shape == (4,)
         assert (sk >= 0).all()     # KL scores are non-negative
 
+    def test_fegan_bucketed_ragged_matches_mesh_path(self):
+        """Full participation (gp_size == W) on the ragged image sweep takes
+        the step-count-bucketed path; it must match the sharded full-width
+        path exactly."""
+        from cglgan_tpu.core.meshes import fed_mesh
+        from cglgan_tpu.data.mnist import synthetic_mnist
+        from cglgan_tpu.data.partition import partition
+        cfg = FedGANConfig(algo="fegan", dataset="synthetic-mnist",
+                           num_workers=4, num_class=10, num_sample=100,
+                           iid=1, batch_size=32, num_communication=8,
+                           num_plt=4, frac_workers=1.0)
+        imgs, labels = synthetic_mnist(n=800, seed=3)
+        part = partition(imgs.reshape(800, -1), labels, 4, 1, num_class=10,
+                         num_sample=100, seed=cfg.seed)
+        from cglgan_tpu.algos import fedavg_family as ff
+        assert ff._plan_buckets(ff._local_steps(cfg, part.lengths)) \
+            is not None, "partition must actually be ragged"
+        r_b = build_runner(cfg, part)               # bucketed
+        r_m = build_runner(cfg, part, mesh=fed_mesh(4))
+        s_a, s_b = r_b.init_state(), r_m.init_state()
+        step_a, step_b = jax.jit(r_b.round_fn), jax.jit(r_m.round_fn)
+
+        def compare(rtol, atol):
+            for la, lb in zip(jax.tree.leaves((s_a.g, s_a.d)),
+                              jax.tree.leaves((s_b.g, s_b.d))):
+                np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                           rtol=rtol, atol=atol)
+
+        s_a, _ = step_a(s_a)
+        s_b, _ = step_b(s_b)
+        # after one round: reduction-order float noise only (GSPMD splits
+        # the reductions differently than the single-device lowering; ~10
+        # chained Adam steps amplify ulps to ~3e-6) — a reassembly bug
+        # would show O(1) errors here
+        compare(rtol=1e-3, atol=1e-5)
+        for _ in range(2):
+            s_a, _ = step_a(s_a)
+            s_b, _ = step_b(s_b)
+        # adversarial training is chaotic (~3x ulp-drift growth per round,
+        # cf. test_flgan_mnist docstring) — bound, don't pin, the tail
+        compare(rtol=5e-3, atol=5e-4)
+
     def test_gather_path_matches_full_width_mesh_path(self):
         """The single-chip group-gather (train only sampled lanes, scatter
         back) must be numerically identical to the sharded full-width
