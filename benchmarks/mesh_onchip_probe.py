@@ -31,7 +31,7 @@ ALGOS = (("flgan", {}), ("fegan", dict(frac_workers=0.5)),
          ("mixgan", dict(num_servers=2)))
 
 
-def measure(algo, kw, mesh, *, chunk=100, reps=3):
+def measure(algo, kw, mesh, *, chunk=1000, reps=2):
     cfg = FedGANConfig(algo=algo, dataset="2dmg", num_workers=8,
                        iid=1, batch_size=100, num_communication=10000, **kw)
     part = load_partition(cfg)
@@ -58,7 +58,6 @@ def main():
               f"1-device mesh {sharded:8.1f} r/s ({sharded / plain:.2f}x)",
               flush=True)
     # one MNIST-shaped config through the same path
-    plain = measure("capgan", dict(num_servers=2), None, chunk=50)
 
     def mnist(mesh):
         cfg = FedGANConfig(algo="capgan", dataset="synthetic-mnist",
@@ -67,14 +66,14 @@ def main():
         part = load_partition(cfg)
         runner = build_runner(cfg, part, mesh=mesh)
         state = runner.init_state()
-        run = scan_rounds(runner.round_fn, 50)
+        run = scan_rounds(runner.round_fn, 400)
         state, _ = run(state)
         jax.block_until_ready(state)
         t0 = time.perf_counter()
-        for _ in range(3):
+        for _ in range(2):
             state, _ = run(state)
         jax.block_until_ready(state)
-        return 150 / (time.perf_counter() - t0)
+        return 800 / (time.perf_counter() - t0)
 
     a, b = mnist(None), mnist(fed_mesh(1))
     print(f"capgan mnist W=8: mesh=None {a:8.1f} r/s | "

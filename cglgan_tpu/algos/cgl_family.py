@@ -127,7 +127,7 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
             gn = NetState(*(meshes.place(t, mesh, P()) for t in
                             (gp, gbn, gopt)))
         lam = jnp.zeros((S,), jnp.float32)   # Lambda starts at 0 (capgan.py:140)
-        return FedState(gn, dn, lam, jnp.int32(0))
+        return meshes.commit_tree(FedState(gn, dn, lam, jnp.int32(0)), mesh)
 
     # ------------------------------------------------------------------
     def per_client_losses(gp, gbn, z_g, d_new: NetState, rng):

@@ -226,8 +226,9 @@ def build_flgan(cfg: FedGANConfig, part: Partition,
                             mesh, spec_w)
         gp, gbn = meshes.place((gp, gbn), mesh, P())
         dp, dbn = meshes.place((dp, dbn), mesh, P())
-        return FedState(NetState(gp, gbn, gopt), NetState(dp, dbn, dopt),
-                        None, jnp.int32(0))
+        return meshes.commit_tree(
+            FedState(NetState(gp, gbn, gopt), NetState(dp, dbn, dopt),
+                     None, jnp.int32(0)), mesh)
 
     max_len = part.data.shape[1]
 
@@ -378,8 +379,9 @@ def build_fegan(cfg: FedGANConfig, part: Partition,
             mesh, spec_w)
         gp = meshes.place(gp, mesh, P())
         dp = meshes.place(dp, mesh, P())
-        return FedState(NetState(gp, gbns, gopt), NetState(dp, dbns, dopt),
-                        None, jnp.int32(0))
+        return meshes.commit_tree(
+            FedState(NetState(gp, gbns, gopt), NetState(dp, dbns, dopt),
+                     None, jnp.int32(0)), mesh)
 
     def round_fn(state: FedState):
         t = state.t

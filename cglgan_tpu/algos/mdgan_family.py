@@ -79,7 +79,7 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
             lambda x: x.reshape((S, k) + x.shape[1:]), tuple(dn)))
         dn = NetState(*(meshes.place(t, mesh, spec_sk) for t in dn))
         gn = NetState(*(meshes.place(t, mesh, P()) for t in (gp, gbn, gopt)))
-        return FedState(gn, dn, None, jnp.int32(0))
+        return meshes.commit_tree(FedState(gn, dn, None, jnp.int32(0)), mesh)
 
     def server_round(g_net: NetState, d_block: NetState, shard_blk, starts,
                      mask, key):

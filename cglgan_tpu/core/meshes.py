@@ -123,3 +123,27 @@ def place(tree, mesh: Optional[Mesh], spec: P):
 def replicate_tree(tree, mesh: Mesh):
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def commit_tree(tree, mesh: Optional[Mesh]):
+    """Commit every leaf to the mesh — replicated P() — unless it already
+    carries a NamedSharding (the clients/model-sharded leaves).
+
+    Leaving ANY state leaf uncommitted (e.g. the int32 round counter next
+    to mesh-committed parameter stacks) knocks jit dispatch off the C++
+    fast path: every call re-traces and re-lowers in Python.  Measured on
+    the single-chip TPU backend: a (committed array, plain scalar) scan
+    carry runs 1.29 ms/iter of pure dispatch overhead vs ~0 when fully
+    committed (PERF.md round 3, 'mesh-path dispatch fix')."""
+    if mesh is None:
+        return tree
+    rep = replicated(mesh)
+
+    def put(x):
+        if x is None:
+            return x
+        if isinstance(getattr(x, "sharding", None), NamedSharding):
+            return x
+        return jax.device_put(jnp.asarray(x), rep)
+
+    return jax.tree.map(put, tree)
