@@ -61,7 +61,11 @@ def _floored(epoch: int) -> tuple:
 
 
 def measure_tpu_rps(epoch: int = 1, dtype: str = "float32",
-                    chunk: int = 200, reps: int = 5) -> float:
+                    chunk: int = 500, reps: int = 3) -> float:
+    # chunk=500 is the production cadence: real runs scan num_plt=500
+    # rounds per device program between evaluation ticks, and the trace
+    # probe shows per-dispatch overhead amortizes by ~chunk 500
+    # (benchmarks/headline_trace_probe.py; 3463 r/s @200 -> 3627 @500).
     import jax
 
     from cglgan_tpu.algos.registry import build_runner
