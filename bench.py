@@ -92,6 +92,7 @@ def main():
     rps = measure_tpu_rps(epoch=1, dtype="float32")       # headline
     rps_e5 = measure_tpu_rps(epoch=5, dtype="float32")    # fused_dstep on
     rps_bf16 = measure_tpu_rps(epoch=1, dtype="bfloat16")
+    rps_bf16_e5 = measure_tpu_rps(epoch=5, dtype="bfloat16")
 
     base_e1, src_e1 = _floored(1)
     base_e5, src_e5 = _floored(5)
@@ -108,6 +109,8 @@ def main():
         "epoch5_baseline_source": src_e5,
         "bf16_rounds_per_sec": round(rps_bf16, 2),
         "bf16_vs_baseline": round(rps_bf16 / base_e1, 2),
+        "bf16_epoch5_rounds_per_sec": round(rps_bf16_e5, 2),
+        "bf16_epoch5_vs_baseline": round(rps_bf16_e5 / base_e5, 2),
     }))
 
 

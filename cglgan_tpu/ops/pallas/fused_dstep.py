@@ -51,14 +51,21 @@ def _dstep_kernel(cc_ref, reals_ref, fake_ref, *refs,
     this stack); per-client because counts can diverge between clients
     (e.g. resuming a checkpoint trained with dropout masking).
     ``refs`` = 18 input state refs, 18 aliased output state refs, loss ref.
-    Biases arrive shaped (1, 1, h) so every in-kernel tensor is >= 2-D."""
-    state_in, state_out, loss_ref = refs[:18], refs[18:36], refs[36]
-    fake = fake_ref[0]                                    # (B, din)
+    Biases arrive shaped (1, 1, h) so every in-kernel tensor is >= 2-D.
 
-    # VMEM-resident copies of the whole optimizer state
+    State refs may be bfloat16 (the production --dtype bfloat16 mode): the
+    kernel upcasts on load and computes every step in float32, so across
+    the E local steps the state is rounded to bf16 ONCE (at the store)
+    instead of once per step as in the XLA bf16 path — strictly tighter
+    numerics at half the HBM state traffic."""
+    state_in, state_out, loss_ref = refs[:18], refs[18:36], refs[36]
+    fake = fake_ref[0].astype(jnp.float32)                # (B, din)
+
+    # VMEM-resident f32 copies of the whole optimizer state
     (w1, bb1, w2, bb2, w3, bb3,
      m1, mb1, m2, mb2, m3, mb3,
-     n1, nb1, n2, nb2, n3, nb3) = (r[0] for r in state_in)
+     n1, nb1, n2, nb2, n3, nb3) = (r[0].astype(jnp.float32)
+                                   for r in state_in)
 
     mult = 1.0 if d_loss_half else 2.0
     loss_out = jnp.zeros((), jnp.float32)
@@ -136,7 +143,7 @@ def _dstep_kernel(cc_ref, reals_ref, fake_ref, *refs,
                  m1, mb1, m2, mb2, m3, mb3,
                  n1, nb1, n2, nb2, n3, nb3)
     for ref, val in zip(state_out, new_state):
-        ref[0] = val
+        ref[0] = val.astype(ref.dtype)
     # the loss block is the full (W, 128) array shared by all programs;
     # each program writes its own row (lane-padded scalar)
     i = pl.program_id(0)
@@ -145,23 +152,32 @@ def _dstep_kernel(cc_ref, reals_ref, fake_ref, *refs,
 
 def eligible(cfg, mesh) -> bool:
     """Whether the fused kernel can replace the local-D phase for this
-    config: MLP discriminators only, f32, single-chip, no dropout (the
-    kernel path implements no participation mask; per-client Adam counts
-    themselves are supported), supported heads.  The win is ~3x on the D phase at
-    epoch >= 2 and ~parity at epoch == 1 (benchmarks/pallas_dstep_probe.py);
-    with ``cfg.pallas_dstep is None`` (auto) it engages at epoch > 1."""
+    config: MLP discriminators only, f32 or bf16, single-chip, no dropout
+    (the kernel path implements no participation mask; per-client Adam
+    counts themselves are supported), supported heads.  The win is ~3x on
+    the D phase at epoch >= 2 and ~parity at epoch == 1
+    (benchmarks/pallas_dstep_probe.py); with ``cfg.pallas_dstep is None``
+    (auto) it engages at epoch > 1 **for float32 only**: under ``--dtype
+    bfloat16`` the XLA path halves its HBM traffic and doubles its MXU
+    rate while the kernel computes f32 in VMEM, and measured on-chip the
+    XLA bf16 path wins (capgan MNIST epoch=5: 1654 r/s XLA vs 1409 r/s
+    kernel) — so bf16 runs the kernel only when forced with
+    ``pallas_dstep=True`` (kept for its strictly tighter numerics: state
+    is rounded to bf16 once per E steps instead of once per step, see
+    ``_dstep_kernel``)."""
     if cfg.pallas_dstep is False:
         return False
     head = cfg.resolved_d_head
-    ok = (not cfg.conv and cfg.dtype == "float32" and mesh is None
+    ok = (not cfg.conv and cfg.dtype in ("float32", "bfloat16")
+          and mesh is None
           and cfg.dropout_rate == 0.0 and head in ("sigmoid", "logits2"))
     if cfg.pallas_dstep is True:
         if not ok:
             raise ValueError(
-                "pallas_dstep=True requires an MLP discriminator, float32, "
-                "no --devices mesh and no dropout")
+                "pallas_dstep=True requires an MLP discriminator, float32 "
+                "or bfloat16, no --devices mesh and no dropout")
         return True
-    return ok and cfg.epoch > 1
+    return ok and cfg.dtype == "float32" and cfg.epoch > 1
 
 
 def unpack_net_generic(net):

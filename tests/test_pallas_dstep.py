@@ -116,19 +116,75 @@ def test_kernel_matches_reference(head, out_dim, half):
     assert int(new_count) == int(np.max(np.asarray(ref_count)))
 
 
+def test_kernel_bf16_state():
+    """bfloat16 state tensors: the kernel upcasts to f32 in VMEM, runs all
+    E steps at full precision, and rounds to bf16 once at the store — so
+    starting both paths from the same bf16-rounded values, the kernel must
+    track the f32 reference to bf16 resolution, and every output tensor
+    must keep the bf16 dtype (the aliased in-place update)."""
+    d, opt, net, shard, fake, starts = _setup(1)
+    # round the initial state to bf16 so reference and kernel start equal
+    down = lambda t: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), t)
+    up = lambda t: jax.tree.map(lambda x: x.astype(jnp.float32), t)
+    net_b = net._replace(
+        params=down(net.params),
+        opt=jax.tree.map(lambda x: x.astype(jnp.bfloat16)
+                         if x.dtype == jnp.float32 else x, net.opt))
+    net_f = net_b._replace(params=up(net_b.params),
+                           opt=jax.tree.map(
+                               lambda x: x.astype(jnp.float32)
+                               if x.dtype == jnp.bfloat16 else x,
+                               net_b.opt))
+    # the kernel consumes bf16 fakes (G runs in bf16); feed the reference
+    # the SAME bf16-rounded values upcast to f32 so both paths see
+    # identical inputs and the only delta left is the one store-rounding
+    fake_b = fake.astype(jnp.bfloat16)
+    ref_net, ref_loss = _reference(d, opt, net_f, shard,
+                                   fake_b.astype(jnp.float32), starts,
+                                   "sigmoid", False)
+
+    six, mu6, nu6, count = _unpack(net_b)
+    reals = jnp.stack([shard[:, s:s + B] for s in starts], axis=1)
+    new_p, new_mu, new_nu, _, losses = fused_d_epoch_steps(
+        six, mu6, nu6, count, reals, fake_b,
+        head="sigmoid", d_loss_half=False, is_image=True,
+        lr=LR, b1=B1, b2=B2, interpret=True)
+
+    for t in list(new_p) + list(new_mu) + list(new_nu):
+        assert t.dtype == jnp.bfloat16
+    assert losses.dtype == jnp.float32
+    ref_six, ref_mu6, ref_nu6, _ = _unpack(ref_net)
+    # both paths compute E steps in f32 from identical inputs; the kernel
+    # rounds to bf16 once at the store, so agreement is bf16 resolution
+    for a, b in zip(new_p, ref_six):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b), rtol=1e-2, atol=1e-4)
+    for a, b in zip(new_mu, ref_mu6):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b), rtol=1e-2, atol=1e-5)
+    for a, b in zip(new_nu, ref_nu6):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b), rtol=1e-2, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref_loss),
+                               rtol=1e-5, atol=1e-6)
+
+
 class TestKernelIntegration:
     """The families' kernel rounds must match the baseline rounds with
     identical PRNG draws (float tolerance: interpreter vs XLA)."""
 
-    def _compare(self, algo, **kw):
+    def _compare(self, algo, _rtol=1e-4, _atol=1e-5, _mtol=1e-4,
+                 _force=False, **kw):
         from cglgan_tpu.algos.registry import build_runner, load_partition
         from cglgan_tpu.core.config import FedGANConfig
 
         base = dict(algo=algo, dataset="2dmg", num_workers=4, num_class=4,
                     num_sample=64, batch_size=16, iid=1, epoch=2,
                     num_communication=4, **kw)
-        cfg_k = FedGANConfig(**base)
-        assert cfg_k.pallas_dstep is None       # auto engages at epoch > 1
+        cfg_k = FedGANConfig(pallas_dstep=True if _force else None, **base)
+        if not _force:
+            assert cfg_k.pallas_dstep is None   # auto engages at epoch > 1
         cfg_b = FedGANConfig(pallas_dstep=False, **base)
         part = load_partition(cfg_k)
         rk, rb = build_runner(cfg_k, part), build_runner(cfg_b, part)
@@ -139,14 +195,16 @@ class TestKernelIntegration:
             sb, mb = fb(sb)
         for a, b in zip(jax.tree.leaves(sk.d.params),
                         jax.tree.leaves(sb.d.params)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=_rtol, atol=_atol)
         for a, b in zip(jax.tree.leaves(sk.g.params),
                         jax.tree.leaves(sb.g.params)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=_rtol, atol=_atol)
         for key in mk:
-            assert abs(float(mk[key]) - float(mb[key])) < 1e-4, key
+            assert abs(float(mk[key]) - float(mb[key])) < _mtol, key
 
     def test_mdgan_round_matches_baseline(self):
         self._compare("mdgan")
@@ -156,6 +214,24 @@ class TestKernelIntegration:
 
     def test_capgan_round_matches_baseline(self):
         self._compare("capgan")
+
+    def test_capgan_bf16_round_matches_baseline(self):
+        """--dtype bfloat16 composed with the kernel (force-only mode: the
+        XLA bf16 path is faster on-chip, so auto does not engage — see
+        ``eligible``).  The kernel keeps f32 across the E local steps where
+        the XLA bf16 path rounds per step, so tolerance is bf16-resolution."""
+        self._compare("capgan", dtype="bfloat16", _force=True,
+                      _rtol=5e-2, _atol=5e-3, _mtol=5e-2)
+
+    def test_bf16_auto_does_not_engage(self):
+        """bf16 auto mode must run the (faster) XLA path, not the kernel."""
+        from cglgan_tpu.core.config import FedGANConfig
+        from cglgan_tpu.ops.pallas.fused_dstep import eligible
+        cfg = FedGANConfig(algo="capgan", dataset="2dmg", num_workers=4,
+                           num_class=4, num_sample=64, batch_size=16,
+                           epoch=2, dtype="bfloat16")
+        assert not eligible(cfg, None)
+        assert eligible(cfg.replace(dtype="float32"), None)
 
     def test_force_flag_rejects_ineligible(self):
         from cglgan_tpu.algos.registry import build_runner
