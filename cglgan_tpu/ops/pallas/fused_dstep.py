@@ -43,7 +43,8 @@ def _adam(p, mu, nu, g, c1, c2, lr, b1, b2, eps=1e-8):
 
 def _dstep_kernel(cc_ref, reals_ref, fake_ref, *refs,
                   E: int, B: int, head: str, d_loss_half: bool,
-                  is_image: bool, lr: float, b1: float, b2: float):
+                  is_image: bool, lr: float, b1: float, b2: float,
+                  mxu_bf16: bool = False):
     """All E local D steps for ONE client, state resident in VMEM.
 
     ``cc_ref``: (1, E, 2) SMEM per-client Adam bias corrections
@@ -54,12 +55,23 @@ def _dstep_kernel(cc_ref, reals_ref, fake_ref, *refs,
     Biases arrive shaped (1, 1, h) so every in-kernel tensor is >= 2-D.
 
     State refs may be bfloat16 (the production --dtype bfloat16 mode): the
-    kernel upcasts on load and computes every step in float32, so across
-    the E local steps the state is rounded to bf16 ONCE (at the store)
-    instead of once per step as in the XLA bf16 path — strictly tighter
-    numerics at half the HBM state traffic."""
+    kernel upcasts on load and keeps the Adam state and every elementwise
+    step in float32, so across the E local steps the state is rounded to
+    bf16 ONCE (at the store) instead of once per step as in the XLA bf16
+    path — strictly tighter numerics at half the HBM state traffic.  With
+    ``mxu_bf16`` the six dots per step feed the MXU bf16 inputs with f32
+    accumulation (the XLA bf16 path's own matmul precision), recovering
+    the 2x MXU rate the f32-in-VMEM variant gives up."""
     state_in, state_out, loss_ref = refs[:18], refs[18:36], refs[36]
     fake = fake_ref[0].astype(jnp.float32)                # (B, din)
+
+    def dot(a, b, dims=None):
+        if mxu_bf16:
+            a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+        if dims is None:
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(a, b, (dims, ((), ())),
+                                   preferred_element_type=jnp.float32)
 
     # VMEM-resident f32 copies of the whole optimizer state
     (w1, bb1, w2, bb2, w3, bb3,
@@ -81,11 +93,11 @@ def _dstep_kernel(cc_ref, reals_ref, fake_ref, *refs,
         x = jnp.concatenate([real, fake], axis=0)         # (2B, din)
 
         # ---- forward ----
-        z1 = jnp.dot(x, w1, preferred_element_type=jnp.float32) + bb1
+        z1 = dot(x, w1) + bb1
         h1 = jnp.where(z1 >= 0, z1, 0.2 * z1)
-        z2 = jnp.dot(h1, w2, preferred_element_type=jnp.float32) + bb2
+        z2 = dot(h1, w2) + bb2
         h2 = jnp.where(z2 >= 0, z2, 0.2 * z2)
-        z3 = jnp.dot(h2, w3, preferred_element_type=jnp.float32) + bb3
+        z3 = dot(h2, w3) + bb3
 
         is_real = (jax.lax.broadcasted_iota(jnp.int32, (2 * B, 1), 0)
                    < B).astype(jnp.float32)               # (2B, 1)
@@ -112,20 +124,15 @@ def _dstep_kernel(cc_ref, reals_ref, fake_ref, *refs,
             g3 = (mult * 0.5 / B) * (jnp.exp(logp) - tgt)  # (2B, 2)
 
         # ---- backward ----
-        dw3 = jax.lax.dot_general(h2, g3, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        dw3 = dot(h2, g3, ((0,), (0,)))
         db3 = jnp.sum(g3, axis=0, keepdims=True)
-        gh2 = jax.lax.dot_general(g3, w3, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        gh2 = dot(g3, w3, ((1,), (1,)))
         dz2 = gh2 * jnp.where(z2 >= 0, 1.0, 0.2)
-        dw2 = jax.lax.dot_general(h1, dz2, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        dw2 = dot(h1, dz2, ((0,), (0,)))
         db2 = jnp.sum(dz2, axis=0, keepdims=True)
-        gh1 = jax.lax.dot_general(dz2, w2, (((1,), (1,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        gh1 = dot(dz2, w2, ((1,), (1,)))
         dz1 = gh1 * jnp.where(z1 >= 0, 1.0, 0.2)
-        dw1 = jax.lax.dot_general(x, dz1, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+        dw1 = dot(x, dz1, ((0,), (0,)))
         db1 = jnp.sum(dz1, axis=0, keepdims=True)
 
         # ---- Adam (shared count across the 6 tensors, like optax) ----
@@ -364,7 +371,10 @@ def fused_d_epoch_steps(params: Tuple, mu: Tuple, nu: Tuple, count,
 
     kernel = functools.partial(
         _dstep_kernel, E=E, B=B, head=head, d_loss_half=d_loss_half,
-        is_image=is_image, lr=lr, b1=b1, b2=b2)
+        is_image=is_image, lr=lr, b1=b1, b2=b2,
+        # bf16 state -> feed the MXU bf16 inputs (f32 accumulate), the
+        # XLA bf16 path's own matmul precision; f32 state keeps f32 dots
+        mxu_bf16=(params[0].dtype == jnp.bfloat16))
 
     state_bytes = sum(int(np.prod(t.shape[1:])) * 4 for t in tensors)
     act_bytes = (E * B * din + 3 * B * din) * 4 + 6 * (2 * B * 512) * 4

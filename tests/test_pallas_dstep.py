@@ -118,10 +118,12 @@ def test_kernel_matches_reference(head, out_dim, half):
 
 def test_kernel_bf16_state():
     """bfloat16 state tensors: the kernel upcasts to f32 in VMEM, runs all
-    E steps at full precision, and rounds to bf16 once at the store — so
-    starting both paths from the same bf16-rounded values, the kernel must
-    track the f32 reference to bf16 resolution, and every output tensor
-    must keep the bf16 dtype (the aliased in-place update)."""
+    E steps with f32 elementwise/Adam math and bf16-input MXU dots (the
+    XLA bf16 path's own matmul precision), and rounds to bf16 once at the
+    store — so starting both paths from the same bf16-rounded values, the
+    kernel must track the f32 reference to bf16-matmul resolution, and
+    every output tensor must keep the bf16 dtype (the aliased in-place
+    update)."""
     d, opt, net, shard, fake, starts = _setup(1)
     # round the initial state to bf16 so reference and kernel start equal
     down = lambda t: jax.tree.map(
@@ -155,19 +157,23 @@ def test_kernel_bf16_state():
         assert t.dtype == jnp.bfloat16
     assert losses.dtype == jnp.float32
     ref_six, ref_mu6, ref_nu6, _ = _unpack(ref_net)
-    # both paths compute E steps in f32 from identical inputs; the kernel
-    # rounds to bf16 once at the store, so agreement is bf16 resolution
+    # identical inputs; the deltas left are the kernel's bf16-input dots
+    # (vs the reference's f32 dots) and the one store-rounding, so
+    # agreement is bf16 resolution with an atol floor for cancellation
+    # tails near zero
     for a, b in zip(new_p, ref_six):
         np.testing.assert_allclose(np.asarray(a, np.float32),
-                                   np.asarray(b), rtol=1e-2, atol=1e-4)
+                                   np.asarray(b), rtol=1e-2, atol=1e-3)
     for a, b in zip(new_mu, ref_mu6):
+        # gradients differ at bf16-dot resolution and the moment mixes
+        # E of them; cancellation tails reach ~2e-3 absolute
         np.testing.assert_allclose(np.asarray(a, np.float32),
-                                   np.asarray(b), rtol=1e-2, atol=1e-5)
+                                   np.asarray(b), rtol=2e-2, atol=3e-3)
     for a, b in zip(new_nu, ref_nu6):
         np.testing.assert_allclose(np.asarray(a, np.float32),
-                                   np.asarray(b), rtol=1e-2, atol=1e-9)
+                                   np.asarray(b), rtol=2e-2, atol=1e-6)
     np.testing.assert_allclose(np.asarray(losses), np.asarray(ref_loss),
-                               rtol=1e-5, atol=1e-6)
+                               rtol=2e-2, atol=1e-3)
 
 
 class TestKernelIntegration:
