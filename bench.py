@@ -7,9 +7,15 @@ self-measured by benchmarks/torch_baseline.py on this machine (the reference
 publishes no numbers; see BASELINE.md).
 
 Prints ONE JSON line.  The headline ("metric"/"value"/"vs_baseline") stays
-the f32 epoch=1 configuration for cross-round comparability; the same line
-also carries the shipped-optimization figures the headline by design cannot
-show (VERDICT r2 weak #1):
+the f32 epoch=1 configuration; the same line also carries the
+shipped-optimization figures the headline by design cannot show (VERDICT
+r2 weak #1).  NOTE on cross-round comparability: round 3 moved the
+measurement chunk from 200 to 500 scanned rounds per dispatch — the
+production cadence (real runs scan num_plt-sized chunks) — which amortizes
+dispatch ~5% deeper than the r1/r2 records (see
+benchmarks/headline_trace_probe.py: 3463 r/s @200 vs 3627 @500), so r3+
+headline values are comparable to each other, not to r1/r2 at the
+second digit.
 
 * ``epoch5_*`` — the reference's own default local-epoch setting
   (README.md:33 "epoch ... 5"), where the fused VMEM-resident D-step
@@ -47,14 +53,19 @@ def measure_baseline_rps(epoch: int = 1, timeout: int = 240) -> tuple:
             return rps, "live"
     except Exception:
         pass
-    return TORCH_CPU_BASELINE_FALLBACK_RPS[epoch], "cached"
+    cached = TORCH_CPU_BASELINE_FALLBACK_RPS.get(epoch)
+    if cached is None:
+        raise RuntimeError(
+            f"live torch baseline failed and no cached fallback exists for "
+            f"epoch={epoch} (cached: {sorted(TORCH_CPU_BASELINE_FALLBACK_RPS)})")
+    return cached, "cached"
 
 
 def _floored(epoch: int) -> tuple:
     """(baseline_rps, source) — the FASTER of (live, cached) so transient
     machine contention can never inflate the reported speedup."""
     live, source = measure_baseline_rps(epoch)
-    baseline = max(live, TORCH_CPU_BASELINE_FALLBACK_RPS[epoch])
+    baseline = max(live, TORCH_CPU_BASELINE_FALLBACK_RPS.get(epoch, 0.0))
     if baseline != live:
         source = f"{source}-floored-at-cached"
     return baseline, source

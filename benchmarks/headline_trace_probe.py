@@ -44,7 +44,10 @@ from cglgan_tpu.core.config import FedGANConfig
 
 TRACE_DIR = "/tmp/xprof_headline"
 CHUNK = 200
-_CONTAINER = re.compile(r"(while|body|condition|jit_|region)")
+# container (non-leaf) trace rows: exact control-flow frame names with an
+# optional .N suffix, or jit_* module frames — anchored so a leaf op that
+# merely starts with one of these words is never dropped from the totals
+_CONTAINER = re.compile(r"(?:(?:while|body|condition|region)(?:\.\d+)?|jit_.*)$")
 
 
 def main():
@@ -72,7 +75,11 @@ def main():
     print(f"scan({CHUNK}) wall-with-profiler {wall / CHUNK * 1e3:.3f} ms/round"
           f"   (round flops {round_gflop:.2f} GFLOP)", flush=True)
 
-    f = sorted(glob.glob(f"{TRACE_DIR}/plugins/profile/*/*.trace.json.gz"))[-1]
+    traces = sorted(glob.glob(f"{TRACE_DIR}/plugins/profile/*/*.trace.json.gz"))
+    if not traces:
+        raise SystemExit(f"profiler produced no trace file under {TRACE_DIR} "
+                         "(is the TPU plugin's profiler available?)")
+    f = traces[-1]
     with gzip.open(f) as fh:
         data = json.load(fh)
 
@@ -115,7 +122,9 @@ def main():
         a = ann.get(op, "")
         if a.endswith("dot_general") or "/conv" in a:
             c = "matmul"
-        elif "copy" in op and not a:
+        elif "copy" in op:
+            # device copies regardless of annotation (an annotated copy
+            # still moves bytes, it is not compute glue)
             c = "copy"
         else:
             c = "glue"

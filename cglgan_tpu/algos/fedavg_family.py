@@ -83,11 +83,14 @@ def _plan_buckets(steps: np.ndarray, max_buckets: int = 4):
     return segs if len(segs) > 1 else None
 
 
-def _sweep_buckets(make_worker, vmapped_args, buckets, bucket_inv, starts):
+def _sweep_buckets(make_worker, vmapped_args, buckets, starts):
     """Run one vmapped sweep per step-count bucket and reassemble in worker
     order.  ``make_worker(starts_mb, mb)`` returns the per-lane function;
     ``vmapped_args`` is a tuple of stacked (W, ...) trees to gather per
     bucket."""
+    # static inverse permutation: bucket-concatenation order -> worker order
+    bucket_inv = jnp.asarray(
+        np.argsort(np.concatenate([idx for idx, _ in buckets])))
     outs = []
     for idx, mb in buckets:
         idx_dev = jnp.asarray(idx)
@@ -209,9 +212,6 @@ def build_flgan(cfg: FedGANConfig, part: Partition,
     # every active step's draws identical to the unbucketed path.
     buckets = _plan_buckets(steps_np) if mesh is None and not use_kernel \
         else None
-    if buckets is not None:
-        bucket_order = np.concatenate([idx for idx, _ in buckets])
-        bucket_inv = jnp.asarray(np.argsort(bucket_order))
 
     def init_state():
         kg = prng.for_role(root, prng.ROLE_INIT_G)
@@ -263,7 +263,7 @@ def build_flgan(cfg: FedGANConfig, part: Partition,
 
             (gp, gbn, gopt, dp, dbn, dopt), d_loss, g_loss = _sweep_buckets(
                 make_worker, (state.g.opt, state.d.opt, shards, steps, keys),
-                buckets, bucket_inv, starts)
+                buckets, starts)
         else:
             def worker(gopt, dopt, shard, step_i, k):
                 return sweep(state.g.params, state.g.bn, gopt,
@@ -321,8 +321,9 @@ def build_fegan(cfg: FedGANConfig, part: Partition,
     W = cfg.num_workers
     spec_w = P("clients")
     shards = meshes.place(jnp.asarray(part.data), mesh, spec_w)
-    steps = jnp.asarray(_local_steps(cfg, part.lengths))
-    max_steps = int(steps.max())
+    steps_np = _local_steps(cfg, part.lengths)
+    steps = jnp.asarray(steps_np)
+    max_steps = int(steps_np.max())
     root = prng.root_key(cfg.seed)
     sweep = _local_sweep(cfg, g_model, d_model, adv, opt_g, opt_d)
 
@@ -353,12 +354,8 @@ def build_fegan(cfg: FedGANConfig, part: Partition,
                    and schedule.shape[1] < W)
     # full participation (gp_size == W): the ragged "epochs" sweep buckets
     # by static step count instead, exactly like flgan
-    steps_np = _local_steps(cfg, part.lengths)
     buckets = _plan_buckets(steps_np) \
         if mesh is None and not use_kernel and not gather_mode else None
-    if buckets is not None:
-        bucket_order = np.concatenate([idx for idx, _ in buckets])
-        bucket_inv = jnp.asarray(np.argsort(bucket_order))
 
     def init_state():
         kg = prng.for_role(root, prng.ROLE_INIT_G)
@@ -427,16 +424,16 @@ def build_fegan(cfg: FedGANConfig, part: Partition,
                 collectives.weighted_avg_tree(gp, w_lane), state.g.params)
             new_dp = keep_if_alive(any_alive)(
                 collectives.weighted_avg_tree(dp, w_lane), state.d.params)
-            # scatter local state back; duplicate lanes (lane_valid==0)
-            # are dropped via an out-of-bounds index
-            scatter_idx = jnp.where(lane_valid > 0, group, W)
+            # scatter local state back; dead lanes — duplicates
+            # (lane_valid==0) and dropout casualties (drop==0) — are
+            # dropped via an out-of-bounds index, so their old state
+            # stays in place without a gather+select pass
+            scatter_idx = jnp.where(m_lane > 0, group, W)
 
             def scatter_sel(old_full, new_lanes):
-                sel = collectives.select_update_tree(take(old_full),
-                                                     new_lanes, m_lane)
                 return jax.tree.map(
                     lambda full, lane: full.at[scatter_idx].set(
-                        lane, mode="drop"), old_full, sel)
+                        lane, mode="drop"), old_full, new_lanes)
 
             new_g = NetState(new_gp, scatter_sel(state.g.bn, gbn),
                              scatter_sel(state.g.opt, gopt))
@@ -468,7 +465,7 @@ def build_fegan(cfg: FedGANConfig, part: Partition,
             (gp, gbn, gopt, dp, dbn, dopt), d_loss, g_loss = _sweep_buckets(
                 make_worker, (state.g.bn, state.g.opt, state.d.bn,
                               state.d.opt, shards, steps, keys),
-                buckets, bucket_inv, starts)
+                buckets, starts)
         else:
             def worker(gbn, gopt, dbn, dopt, shard, step_i, k):
                 return sweep(state.g.params, gbn, gopt, state.d.params, dbn,
