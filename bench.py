@@ -99,7 +99,29 @@ def measure_tpu_rps(epoch: int = 1, dtype: str = "float32",
     return reps * chunk / dt
 
 
+def _wait_for_tpu(attempts: int = 5, probe_timeout: int = 120,
+                  sleep_s: int = 120) -> None:
+    """The tunneled axon backend can wedge such that device init hangs
+    forever (observed round 3).  Probe it in a killable subprocess and
+    exit non-zero after a bounded wait instead of hanging the driver."""
+    for i in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=probe_timeout)
+            if out.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        print(f"bench: TPU backend unresponsive (probe {i + 1}/{attempts})",
+              file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    sys.exit(2)
+
+
 def main():
+    _wait_for_tpu()
     rps = measure_tpu_rps(epoch=1, dtype="float32")       # headline
     rps_e5 = measure_tpu_rps(epoch=5, dtype="float32")    # fused_dstep on
     rps_bf16 = measure_tpu_rps(epoch=1, dtype="bfloat16")
