@@ -108,15 +108,20 @@ def _wait_for_tpu(attempts: int = 5, probe_timeout: int = 120,
         try:
             out = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, timeout=probe_timeout)
+                capture_output=True, text=True, timeout=probe_timeout)
             if out.returncode == 0:
                 return
+            # fast permanent failure (import/registration error): surface
+            # the traceback and bail immediately — retrying won't help
+            print("bench: TPU device init failed:\n"
+                  + out.stderr.strip().splitlines()[-1],
+                  file=sys.stderr, flush=True)
+            sys.exit(2)
         except subprocess.TimeoutExpired:
-            pass
-        print(f"bench: TPU backend unresponsive (probe {i + 1}/{attempts})",
-              file=sys.stderr, flush=True)
-        if i + 1 < attempts:
-            time.sleep(sleep_s)
+            print(f"bench: TPU backend unresponsive "
+                  f"(probe {i + 1}/{attempts})", file=sys.stderr, flush=True)
+            if i + 1 < attempts:
+                time.sleep(sleep_s)
     sys.exit(2)
 
 
