@@ -162,7 +162,7 @@ def main():
 
     base_e1, src_e1 = _floored(1)
     base_e5, src_e5 = _floored(5)
-    print(json.dumps({
+    record = {
         "metric": "capgan16_mnist_rounds_per_sec",
         "value": round(rps, 2),
         "unit": "federated rounds/sec (16 clients, batch 100)",
@@ -178,7 +178,10 @@ def main():
         "bf16_epoch5_rounds_per_sec": round(rps_bf16_e5, 2),
         "bf16_epoch5_vs_baseline": round(rps_bf16_e5 / base_e5, 2),
         "tpu_source": "live",
-    }))
+    }
+    assert set(record) == set(CACHED_TPU_RECORD), (
+        "live/cached bench record schemas diverged")
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
