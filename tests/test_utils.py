@@ -46,6 +46,27 @@ class TestCheckpoint:
         for a, b in zip(jax.tree.leaves(s2a), jax.tree.leaves(s2b)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_roundtrip_preserves_mesh_commitment(self, tmp_path):
+        """Resume on a sharded mesh must restore with the template's
+        NamedShardings (Orbax restores to the template's shardings), or the
+        resumed run silently falls off the jit dispatch fast path — the
+        commit_tree bug class (see tests/test_dispatch_guard.py)."""
+        from jax.sharding import NamedSharding
+        from cglgan_tpu.core import meshes
+        cfg = FedGANConfig(algo="flgan", dataset="2dmg", num_workers=8,
+                           num_class=5, num_sample=200, iid=1, batch_size=32,
+                           num_communication=4, num_plt=2)
+        mesh = meshes.client_mesh(8)
+        r = build_runner(cfg, mesh=mesh)
+        s1, _ = jax.jit(r.round_fn)(r.init_state())
+        path = str(tmp_path / "ckpt3")
+        save_checkpoint(path, s1)
+        restored = restore_checkpoint(path, r.init_state())
+        for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            assert isinstance(b.sharding, NamedSharding) and b.committed
+            assert b.sharding == a.sharding
+
 
 class TestRunDir:
     def test_logs_jsonl_and_csv(self, tmp_path):
