@@ -66,6 +66,32 @@ class TestImagePaths:
         samples = r.sample(s1, 32)
         assert samples.shape[-2:] == (28, 28)
 
+    @pytest.mark.parametrize("algo,kw", [
+        ("mdgan", {}),
+        # num_workers=8 so clients_per_server=4 matches the 4-way mesh
+        # (the CGL D stack is sharded on the per-server clients dim)
+        ("cglgan", dict(num_servers=2, cloud_epoch=1, num_workers=8)),
+    ])
+    def test_conv_round_on_sharded_mesh(self, algo, kw):
+        """The conv LSGAN family (model/lsgan.py:3-98) executes a GSPMD
+        round on a sharded clients mesh — the MLP families are pinned by
+        dryrun_multichip; this covers the one model path it omits (stacked
+        per-client conv D state and 32x32 shards split over devices,
+        multipath conv heads + trunk cloud sync for cglgan)."""
+        from cglgan_tpu.core.meshes import fed_mesh
+        cfg = img_cfg(algo, conv=True, batch_size=8, num_sample=64,
+                      num_class=4, **kw)
+        r = build_runner(cfg, mesh=fed_mesh(4))
+        s0 = r.init_state()
+        s1, m = jax.jit(r.round_fn)(s0)
+        for k, v in m.items():
+            assert np.isfinite(float(v)), (algo, k)
+        g0 = jax.tree.leaves(s0.g.params)[0]
+        g1 = jax.tree.leaves(s1.g.params)[0]
+        assert not np.allclose(np.asarray(g0), np.asarray(g1))
+        samples = r.sample(s1, 8)
+        assert samples.shape[-2:] == (32, 32)
+
     def test_capgan_d_head_is_2logit_ce(self):
         """CAP/Mix MNIST workers use CrossEntropy on a 2-logit D
         (capgan.py:311); CGL MNIST keeps sigmoid BCE."""
