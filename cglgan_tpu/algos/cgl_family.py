@@ -303,23 +303,32 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
         return FedState(new_g, new_d, lam_new, t + 1), metrics
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnames=("n",))
-    def sample(state: FedState, n: int):
-        """Painter semantics: per server, G(fixed_z) in eval mode; multi-path
-        output is the concat of all heads, strided back down to the per-server
-        quota (capgan.py:79-83)."""
-        per = max(n // S, 1)
+    def gen(state: FedState, z):
+        """Serving contract: eval-mode samples from caller latents ``z``
+        of shape (n, zdim) with n divisible by S; server i generates from
+        ``z[i::S... ]``'s block.  Painter routing as in `sample`: multi-path
+        output is the concat of all heads, strided back down to the
+        per-server quota (capgan.py:79-83)."""
+        per = z.shape[0] // S
+        zs = z.reshape((S, per, zdim))
 
-        def one(gp, gbn, i):
-            z = jax.random.normal(
-                prng.for_member(prng.for_role(root, prng.ROLE_EVAL), i),
-                (per, zdim))
-            out, _ = g_model.apply(gp, gbn, z, train=False)
+        def one(gp, gbn, zi):
+            out, _ = g_model.apply(gp, gbn, zi, train=False)
             if multipath:
                 out = out.reshape((k * per,) + out.shape[2:])[::k]
             return out
 
-        outs = jax.vmap(one)(state.g.params, state.g.bn, jnp.arange(S))
+        outs = jax.vmap(one)(state.g.params, state.g.bn, zs)
         return outs.reshape((S * per,) + outs.shape[2:])
 
-    return runner_mod.Runner(cfg, part, init_state, round_fn, sample)
+    @partial(jax.jit, static_argnames=("n",))
+    def sample(state: FedState, n: int):
+        """Painter semantics: per server, G(fixed_z) in eval mode."""
+        per = max(n // S, 1)
+        z = jax.vmap(lambda i: jax.random.normal(
+            prng.for_member(prng.for_role(root, prng.ROLE_EVAL), i),
+            (per, zdim)))(jnp.arange(S))
+        return gen(state, z.reshape((S * per, zdim)))
+
+    return runner_mod.Runner(cfg, part, init_state, round_fn, sample,
+                             gen=gen)

@@ -294,14 +294,19 @@ def build_flgan(cfg: FedGANConfig, part: Partition,
         new_d = NetState(agg(dp), agg(dbn), dopt)
         return FedState(new_g, new_d, None, state.t + 1), metrics
 
+    def gen(state: FedState, z):
+        """Serving contract: eval-mode samples from caller latents."""
+        out, _ = g_model.apply(state.g.params, state.g.bn, z, train=False)
+        return out
+
     @partial(jax.jit, static_argnames=("n",))
     def sample(state: FedState, n: int):
         z = jax.random.normal(prng.for_role(root, prng.ROLE_EVAL),
                               (n, cfg.latent_dim))
-        out, _ = g_model.apply(state.g.params, state.g.bn, z, train=False)
-        return out
+        return gen(state, z)
 
-    return runner_mod.Runner(cfg, part, init_state, round_fn, sample)
+    return runner_mod.Runner(cfg, part, init_state, round_fn, sample,
+                             gen=gen)
 
 
 def build_fegan(cfg: FedGANConfig, part: Partition,
@@ -498,12 +503,18 @@ def build_fegan(cfg: FedGANConfig, part: Partition,
     # (deserialize moves params only, fegan.py:169) — replicate: fixed init BN
     _, eval_bn = g_model.init(prng.for_role(root, prng.ROLE_INIT_G))
 
+    def gen(state: FedState, z):
+        """Serving contract: eval-mode samples from caller latents (with
+        the reference's untrained-BN eval quirk above)."""
+        out, _ = g_model.apply(state.g.params, eval_bn, z, train=False)
+        return out
+
     @partial(jax.jit, static_argnames=("n",))
     def sample(state: FedState, n: int):
         z = jax.random.normal(prng.for_role(root, prng.ROLE_EVAL),
                               (n, cfg.latent_dim))
-        out, _ = g_model.apply(state.g.params, eval_bn, z, train=False)
-        return out
+        return gen(state, z)
 
     return runner_mod.Runner(cfg, part, init_state, round_fn, sample,
-                             extras={"sk": sk, "schedule": schedule})
+                             extras={"sk": sk, "schedule": schedule},
+                             gen=gen)

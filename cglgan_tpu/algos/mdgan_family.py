@@ -204,20 +204,28 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
 
         return FedState(new_g, new_d, None, t + 1), metrics
 
+    def gen(state: FedState, z):
+        """Serving contract: eval-mode samples from caller latents ``z``
+        (n, zdim), n divisible by S — one per-server block each."""
+        per = z.shape[0] // S
+        zs = z.reshape((S, per, zdim))
+
+        def one(gp, gbn, zi):
+            out, _ = g_model.apply(gp, gbn, zi, train=False)
+            return out
+
+        outs = jax.vmap(one)(state.g.params, state.g.bn, zs)
+        return outs.reshape((S * per,) + outs.shape[2:])
+
     @partial(jax.jit, static_argnames=("n",))
     def sample(state: FedState, n: int):
         """Eval samples: each server contributes n/S (the painter pools
         per-server fixed_z outputs, ACGAN/2DMG/acgan.py:69-75)."""
         per = n // S
+        z = jax.vmap(lambda i: jax.random.normal(
+            prng.for_member(prng.for_role(root, prng.ROLE_EVAL), i),
+            (per, zdim)))(jnp.arange(S))
+        return gen(state, z.reshape((S * per, zdim)))
 
-        def one(gp, gbn, i):
-            z = jax.random.normal(
-                prng.for_member(prng.for_role(root, prng.ROLE_EVAL), i),
-                (per, zdim))
-            out, _ = g_model.apply(gp, gbn, z, train=False)
-            return out
-
-        outs = jax.vmap(one)(state.g.params, state.g.bn, jnp.arange(S))
-        return outs.reshape((S * per,) + outs.shape[2:])
-
-    return runner_mod.Runner(cfg, part, init_state, round_fn, sample)
+    return runner_mod.Runner(cfg, part, init_state, round_fn, sample,
+                             gen=gen)

@@ -26,6 +26,10 @@ class Runner(NamedTuple):
     round_fn: Callable[[Any], Any]                   # state -> (state, metrics)
     sample: Callable[[Any, int], jax.Array]          # (state, n) -> samples
     extras: Optional[Dict[str, Any]] = None
+    # (state, z[n, latent_dim]) -> samples[n]: the serving contract — the
+    # same eval-mode generator + painter routing as `sample`, but with
+    # caller-supplied latents (the basis of `tpufed export`, utils/export.py)
+    gen: Optional[Callable[[Any, jax.Array], jax.Array]] = None
 
 
 def scan_rounds(round_fn, n: int, unroll: int = 1):

@@ -374,6 +374,36 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export the trained generator as a portable StableHLO serving
+    artifact (utils/export.py): eval-mode G forward, weights baked in,
+    callable as z[n, latent] -> samples with no model code or checkpoint."""
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import json
+
+    from cglgan_tpu.algos.registry import build_runner
+    from cglgan_tpu.core.config import FedGANConfig
+    from cglgan_tpu.utils.checkpoint import restore_checkpoint
+    from cglgan_tpu.utils.export import export_generator, save_generator
+
+    run_dir = os.path.dirname(os.path.abspath(args.checkpoint))
+    with open(os.path.join(run_dir, "config.json")) as f:
+        cfg = FedGANConfig(**json.load(f))
+    runner = build_runner(cfg)
+    state = restore_checkpoint(args.checkpoint, runner.init_state())
+    platforms = args.platforms.split(",") if args.platforms else None
+    exported = export_generator(runner, state, args.n, platforms=platforms)
+    out = args.out or os.path.join(run_dir,
+                                   f"generator_{int(state.t)}.stablehlo")
+    manifest = save_generator(
+        exported, out,
+        {"algo": cfg.algo, "dataset": cfg.dataset, "round": int(state.t)})
+    print(json.dumps({"out": out, **manifest}))
+    return 0
+
+
 def cmd_fid_stats(args) -> int:
     """Precompute real-image activation statistics for ``--fid-stats``.
 
@@ -449,6 +479,22 @@ def main(argv=None) -> int:
     peval.add_argument("--inception-weights", default=None)
     peval.add_argument("--fid-stats", default=None)
     peval.set_defaults(fn=cmd_eval)
+    pexport = sub.add_parser(
+        "export", help="export the trained generator as a portable "
+                       "StableHLO serving artifact (z -> samples)")
+    _add_cache_arg(pexport)
+    pexport.add_argument("checkpoint", help="path to an Orbax checkpoint "
+                                            "dir inside a run dir")
+    pexport.add_argument("--n", type=int, default=100,
+                         help="serving batch size baked into the artifact")
+    pexport.add_argument("--out", default=None,
+                         help="output path (default "
+                              "<run dir>/generator_<round>.stablehlo)")
+    pexport.add_argument("--platform", default=None)
+    pexport.add_argument("--platforms", default=None,
+                         help="comma list of lowering targets, e.g. "
+                              "cpu,tpu (default: current backend)")
+    pexport.set_defaults(fn=cmd_export)
     pstats = sub.add_parser(
         "fid-stats", help="precompute real-image FID statistics "
                           "(.npz consumable via run/eval --fid-stats)")

@@ -1,0 +1,87 @@
+"""Serving export: package a trained generator as a portable StableHLO
+artifact (`jax.export`).
+
+The reference has no deployment story — inference means re-importing the
+training script and loading a ``.pt`` state dict into the same class
+(`FLGAN/MNIST/flgan.py:233-235` saves; nothing ever loads).  Here the
+trained generator becomes a **self-contained compiled artifact**: the
+eval-mode generator forward with the checkpoint's weights baked in as
+constants, serialized as versioned StableHLO bytes.  A consumer needs jax
+(any backend the artifact was lowered for — export cross-lowers for TPU
+and CPU from either host) and this file's ``load_generator``; no model
+code, no config, no checkpoint tree.
+
+Contract: the exported function maps caller-supplied latents
+``z: float32[n, latent_dim]`` to eval-mode samples, with the painter's
+per-server routing baked in (multi-path heads strided to the per-server
+quota, capgan.py:79-83).  ``n`` is fixed at export time (serving batch);
+callers bring their own randomness — the standard GAN serving interface.
+
+CLI: ``tpufed export <checkpoint> --n 100 --out g.stablehlo``.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+MANIFEST_SUFFIX = ".json"
+
+
+def export_generator(runner, state, n: int,
+                     platforms: Optional[Sequence[str]] = None):
+    """Export ``runner.gen`` closed over ``state`` as a ``jax.export``
+    Exported object taking ``z: float32[n, latent_dim]``.
+
+    ``platforms``: lowering targets (e.g. ``["cpu", "tpu"]``); default =
+    the current default backend.  ``n`` must be divisible by the number of
+    servers (the painter's per-server quota).
+    """
+    if runner.gen is None:
+        raise ValueError(f"{runner.cfg.algo} runner exposes no gen()")
+    S = runner.cfg.num_servers
+    if runner.cfg.algo not in ("flgan", "fegan") and n % S:
+        raise ValueError(f"n={n} not divisible by num_servers={S}")
+    serve = jax.jit(lambda z: runner.gen(state, z))
+    spec = jax.ShapeDtypeStruct((n, runner.cfg.latent_dim), jnp.float32)
+    return jax.export.export(
+        serve, platforms=list(platforms) if platforms else None)(spec)
+
+
+def save_generator(exported, path: str,
+                   manifest_extra: Optional[Dict[str, Any]] = None) -> Dict:
+    """Serialize an Exported to ``path`` plus a ``path.json`` manifest."""
+    blob = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(blob)
+    (n, zdim) = exported.in_avals[0].shape
+    manifest = {
+        "format": "jax.export/stablehlo",
+        "calling_convention_version": exported.calling_convention_version,
+        "platforms": list(exported.platforms),
+        "in_shape": [int(n), int(zdim)],
+        "in_dtype": str(exported.in_avals[0].dtype),
+        "out_shape": [int(d) for d in exported.out_avals[0].shape],
+        "out_dtype": str(exported.out_avals[0].dtype),
+        "bytes": len(blob),
+    }
+    manifest.update(manifest_extra or {})
+    with open(path + MANIFEST_SUFFIX, "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def load_generator(path: str):
+    """Load a serialized artifact; returns ``(callable z -> samples,
+    manifest dict)``.  The callable runs the baked weights on the current
+    backend (must be one of the manifest's ``platforms``)."""
+    with open(path, "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    manifest = {}
+    if os.path.exists(path + MANIFEST_SUFFIX):
+        with open(path + MANIFEST_SUFFIX) as f:
+            manifest = json.load(f)
+    return exported.call, manifest

@@ -72,6 +72,40 @@ class TestCLI:
                  .read_text().strip().split("\n")]
         assert "fid" in ticks[-1]
 
+    def test_export_serving_artifact(self, tmp_path):
+        """train -> export -> the StableHLO artifact regenerates in a
+        consumer process with only jax (the serving path of record)."""
+        out = run_cli(["run", "flgan", "--dataset", "2dmg",
+                       "--num-workers", "4", "--num-class", "5",
+                       "--num-sample", "200", "--batch-size", "32",
+                       "--rounds", "4", "--num-plt", "4",
+                       "--ckpt-every", "0", "--platform", "cpu",
+                       "--out", str(tmp_path), "--name", "t5"])
+        assert out.returncode == 0, out.stderr[-2000:]
+        ckpt = tmp_path / "t5" / "ckpt_final"
+        art = tmp_path / "g.stablehlo"
+        out = run_cli(["export", str(ckpt), "--n", "20",
+                       "--platform", "cpu", "--out", str(art)])
+        assert out.returncode == 0, out.stderr[-2000:]
+        report = json.loads(out.stdout.strip().splitlines()[-1])
+        assert report["algo"] == "flgan" and report["round"] == 4
+        assert report["in_shape"] == [20, 100]
+        manifest = json.loads((tmp_path / "g.stablehlo.json").read_text())
+        assert manifest["out_shape"] == [20, 2]
+        code = ("import jax, jax.numpy as jnp\n"
+                "jax.config.update('jax_platforms', 'cpu')\n"
+                f"exp = jax.export.deserialize(open({str(art)!r},"
+                "'rb').read())\n"
+                "s = exp.call(jax.random.normal(jax.random.key(0),"
+                "(20, 100)))\n"
+                "assert s.shape == (20, 2) and bool"
+                "(jnp.all(jnp.abs(s) <= 1.0))\n"
+                "print('SERVE-OK')\n")
+        import subprocess
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=120)
+        assert "SERVE-OK" in r.stdout, r.stderr[-2000:]
+
     def test_bad_args(self):
         out = run_cli(["run", "nope"], timeout=60)
         assert out.returncode != 0

@@ -1,0 +1,120 @@
+"""Serving export (utils/export.py, `tpufed export`).
+
+The reference has no deployment path (checkpoints are saved, never loaded
+— SURVEY.md §5).  These tests pin the serving contract: `runner.gen` is
+the same eval-mode generator + painter routing as `sample` (identical
+outputs given the same latents), and the jax.export artifact round-trips
+through disk with bit-identical numerics and no access to model code.
+"""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cglgan_tpu.algos.registry import build_runner
+from cglgan_tpu.core.config import FedGANConfig
+from cglgan_tpu.utils import export as export_mod
+
+
+def tiny_cfg(algo, **kw):
+    base = dict(algo=algo, dataset="2dmg", num_workers=4, num_class=5,
+                num_sample=200, iid=1, batch_size=32, num_communication=4,
+                num_plt=2, epoch=1)
+    base.update(kw)
+    return FedGANConfig(**base)
+
+
+# one per structural variant of gen(): single-path FedAvg (flgan), the
+# FeGAN untrained-BN eval quirk, per-server vmapped (mdgan), multi-path
+# head striding (cglgan)
+VARIANTS = [("flgan", {}), ("fegan", dict(frac_workers=0.5)),
+            ("mdgan", {}), ("cglgan", dict(num_servers=2))]
+
+
+class TestGenContract:
+    @pytest.mark.parametrize("algo,kw", VARIANTS)
+    def test_sample_equals_gen_of_its_draw(self, algo, kw):
+        """`sample` must be exactly `gen` fed the fixed eval-z draw — the
+        serving path serves the same distribution the evaluator scored."""
+        r = build_runner(tiny_cfg(algo, **kw))
+        state = r.init_state()
+        want = np.asarray(r.sample(state, 100))
+
+        # reconstruct the eval draw through gen with brute force: gen is
+        # deterministic, so matching sample() on SOME z of the right shape
+        # is only convincing if that z is the documented eval draw.  Use
+        # the runner's own sample as the oracle and check gen reproduces
+        # it from the documented key schedule.
+        from cglgan_tpu.core import prng
+        root = prng.root_key(r.cfg.seed)
+        S = r.cfg.num_servers
+        if algo in ("flgan", "fegan"):
+            z = jax.random.normal(prng.for_role(root, prng.ROLE_EVAL),
+                                  (100, r.cfg.latent_dim))
+        else:
+            per = 100 // S
+            z = jax.vmap(lambda i: jax.random.normal(
+                prng.for_member(prng.for_role(root, prng.ROLE_EVAL), i),
+                (per, r.cfg.latent_dim)))(jnp.arange(S))
+            z = z.reshape(S * per, r.cfg.latent_dim)
+        got = np.asarray(r.gen(state, z))
+        np.testing.assert_array_equal(want, got)
+
+    def test_gen_varies_with_z(self):
+        r = build_runner(tiny_cfg("flgan"))
+        state = r.init_state()
+        z1 = jax.random.normal(jax.random.key(1), (16, r.cfg.latent_dim))
+        z2 = jax.random.normal(jax.random.key(2), (16, r.cfg.latent_dim))
+        assert not np.allclose(np.asarray(r.gen(state, z1)),
+                               np.asarray(r.gen(state, z2)))
+
+
+class TestExportRoundTrip:
+    @pytest.mark.parametrize("algo,kw", [("flgan", {}),
+                                         ("cglgan", dict(num_servers=2))])
+    def test_disk_round_trip_bit_exact(self, algo, kw, tmp_path):
+        r = build_runner(tiny_cfg(algo, **kw))
+        state = r.init_state()
+        exported = export_mod.export_generator(r, state, n=50)
+        path = str(tmp_path / "g.stablehlo")
+        manifest = export_mod.save_generator(exported, path,
+                                             {"algo": algo, "round": 0})
+        assert manifest["in_shape"] == [50, r.cfg.latent_dim]
+        assert manifest["algo"] == algo
+
+        serve, loaded_manifest = export_mod.load_generator(path)
+        assert loaded_manifest["round"] == 0
+        z = jax.random.normal(jax.random.key(7), (50, r.cfg.latent_dim))
+        np.testing.assert_array_equal(np.asarray(serve(z)),
+                                      np.asarray(r.gen(state, z)))
+
+    def test_indivisible_n_rejected(self):
+        r = build_runner(tiny_cfg("cglgan", num_servers=2))
+        with pytest.raises(ValueError, match="divisible"):
+            export_mod.export_generator(r, r.init_state(), n=51)
+
+    def test_artifact_is_self_contained(self, tmp_path):
+        """Deserialization must not need the runner/config — a consumer
+        process has only jax and the file."""
+        import subprocess
+        import sys
+        r = build_runner(tiny_cfg("flgan"))
+        state = r.init_state()
+        exported = export_mod.export_generator(r, state, n=10)
+        path = str(tmp_path / "g.stablehlo")
+        export_mod.save_generator(exported, path)
+        want = np.asarray(r.gen(state, jnp.ones((10, r.cfg.latent_dim))))
+        np.save(str(tmp_path / "want.npy"), want)
+        code = (
+            "import jax, jax.numpy as jnp, numpy as np\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            f"exp = jax.export.deserialize(open({path!r},'rb').read())\n"
+            f"got = exp.call(jnp.ones((10, {r.cfg.latent_dim})))\n"
+            f"np.testing.assert_array_equal("
+            f"np.load({str(tmp_path / 'want.npy')!r}), np.asarray(got))\n"
+            "print('SELF-CONTAINED-OK')\n")
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=120)
+        assert "SELF-CONTAINED-OK" in out.stdout, out.stderr[-2000:]
