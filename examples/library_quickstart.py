@@ -50,7 +50,23 @@ print("custom loop d_loss:", float(metrics["d_loss"]))
 samples = runner.sample(state, 256)
 print("samples:", samples.shape, samples.dtype)
 
-# -------------------------------------------------------- 4. multi-chip mesh
+# ------------------------------------------------------------- 4. serving
+# Package the trained generator as a portable StableHLO artifact: weights
+# baked in, callable as z -> samples in any jax process with no model code
+# (`tpufed export` is the CLI spelling; utils/export.py).
+import tempfile
+
+from cglgan_tpu.utils.export import (export_generator, load_generator,
+                                     save_generator)
+
+with tempfile.TemporaryDirectory() as td:
+    art = f"{td}/generator.stablehlo"
+    save_generator(export_generator(runner, state, n=50), art)
+    serve, manifest = load_generator(art)
+    z = jax.random.normal(jax.random.key(0), (50, cfg.latent_dim))
+    print("served:", serve(z).shape, f"({manifest['bytes']} artifact bytes)")
+
+# -------------------------------------------------------- 5. multi-chip mesh
 # The same runner shards over a clients-axis Mesh — state and data shards
 # split across devices, FedAvg/collectives lowered to ICI all-reduces.
 # (On a multi-chip host: mesh = fed_mesh(len(jax.devices())).)

@@ -24,6 +24,7 @@ def _run_example(name: str) -> str:
 def test_library_quickstart_runs():
     stdout = _run_example("library_quickstart.py")
     assert "samples: (255, 2)" in stdout          # painter per-server quota
+    assert "served: (50, 2)" in stdout            # serving export round-trip
     assert "sharded round ok" in stdout
 
 
