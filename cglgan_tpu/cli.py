@@ -394,7 +394,9 @@ def cmd_export(args) -> int:
     runner = build_runner(cfg)
     state = restore_checkpoint(args.checkpoint, runner.init_state())
     platforms = args.platforms.split(",") if args.platforms else None
-    exported = export_generator(runner, state, args.n, platforms=platforms)
+    exported = export_generator(runner, state,
+                                args.n if args.n > 0 else None,
+                                platforms=platforms)
     out = args.out or os.path.join(run_dir,
                                    f"generator_{int(state.t)}.stablehlo")
     manifest = save_generator(
@@ -485,8 +487,10 @@ def main(argv=None) -> int:
     _add_cache_arg(pexport)
     pexport.add_argument("checkpoint", help="path to an Orbax checkpoint "
                                             "dir inside a run dir")
-    pexport.add_argument("--n", type=int, default=100,
-                         help="serving batch size baked into the artifact")
+    pexport.add_argument("--n", type=int, default=0,
+                         help="serving batch size baked into the artifact; "
+                              "0 (default) = batch-polymorphic via shape "
+                              "polymorphism (any multiple of num_servers)")
     pexport.add_argument("--out", default=None,
                          help="output path (default "
                               "<run dir>/generator_<round>.stablehlo)")

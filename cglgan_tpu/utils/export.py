@@ -31,22 +31,33 @@ import jax.numpy as jnp
 MANIFEST_SUFFIX = ".json"
 
 
-def export_generator(runner, state, n: int,
+def export_generator(runner, state, n: Optional[int] = None,
                      platforms: Optional[Sequence[str]] = None):
     """Export ``runner.gen`` closed over ``state`` as a ``jax.export``
     Exported object taking ``z: float32[n, latent_dim]``.
 
+    ``n``: the serving batch.  An int bakes a fixed batch; ``None``
+    exports a **batch-polymorphic** artifact via shape polymorphism — the
+    symbolic batch is ``S*b`` for the per-server-quota families (so the
+    divisibility constraint is structural: any multiple of num_servers
+    works at call time) and ``b`` (any batch) for flgan/fegan.
+
     ``platforms``: lowering targets (e.g. ``["cpu", "tpu"]``); default =
-    the current default backend.  ``n`` must be divisible by the number of
-    servers (the painter's per-server quota).
+    the current default backend.
     """
     if runner.gen is None:
         raise ValueError(f"{runner.cfg.algo} runner exposes no gen()")
     S = runner.cfg.num_servers
-    if runner.cfg.algo not in ("flgan", "fegan") and n % S:
-        raise ValueError(f"n={n} not divisible by num_servers={S}")
+    per_server = runner.cfg.algo not in ("flgan", "fegan")
+    if n is None:
+        dim = f"{S}*b" if per_server and S > 1 else "b"
+        (batch,) = jax.export.symbolic_shape(f"({dim},)")
+    else:
+        if per_server and n % S:
+            raise ValueError(f"n={n} not divisible by num_servers={S}")
+        batch = n
     serve = jax.jit(lambda z: runner.gen(state, z))
-    spec = jax.ShapeDtypeStruct((n, runner.cfg.latent_dim), jnp.float32)
+    spec = jax.ShapeDtypeStruct((batch, runner.cfg.latent_dim), jnp.float32)
     return jax.export.export(
         serve, platforms=list(platforms) if platforms else None)(spec)
 
@@ -57,14 +68,18 @@ def save_generator(exported, path: str,
     blob = exported.serialize()
     with open(path, "wb") as f:
         f.write(blob)
-    (n, zdim) = exported.in_avals[0].shape
+
+    def _dims(aval):
+        # symbolic dims (batch-polymorphic export) serialize as strings
+        return [d if isinstance(d, int) else str(d) for d in aval.shape]
+
     manifest = {
         "format": "jax.export/stablehlo",
         "calling_convention_version": exported.calling_convention_version,
         "platforms": list(exported.platforms),
-        "in_shape": [int(n), int(zdim)],
+        "in_shape": _dims(exported.in_avals[0]),
         "in_dtype": str(exported.in_avals[0].dtype),
-        "out_shape": [int(d) for d in exported.out_avals[0].shape],
+        "out_shape": _dims(exported.out_avals[0]),
         "out_dtype": str(exported.out_avals[0].dtype),
         "bytes": len(blob),
     }

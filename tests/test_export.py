@@ -90,6 +90,30 @@ class TestExportRoundTrip:
         np.testing.assert_array_equal(np.asarray(serve(z)),
                                       np.asarray(r.gen(state, z)))
 
+    @pytest.mark.parametrize("algo,kw", [("flgan", {}),
+                                         ("cglgan", dict(num_servers=2))])
+    def test_batch_polymorphic_export(self, algo, kw, tmp_path):
+        """n=None exports one artifact serving ANY batch (multiple of S
+        for the per-server families) — jax.export shape polymorphism."""
+        r = build_runner(tiny_cfg(algo, **kw))
+        state = r.init_state()
+        exported = export_mod.export_generator(r, state, n=None)
+        path = str(tmp_path / "g.stablehlo")
+        manifest = export_mod.save_generator(exported, path)
+        assert isinstance(manifest["in_shape"][0], str)   # symbolic dim
+        serve, _ = export_mod.load_generator(path)
+        for n in (10, 60):
+            z = jax.random.normal(jax.random.key(n), (n, r.cfg.latent_dim))
+            np.testing.assert_array_equal(np.asarray(serve(z)),
+                                          np.asarray(r.gen(state, z)))
+
+    def test_polymorphic_rejects_indivisible_batch(self):
+        r = build_runner(tiny_cfg("cglgan", num_servers=2))
+        serve = export_mod.export_generator(r, r.init_state(), n=None).call
+        z = jnp.zeros((7, r.cfg.latent_dim))
+        with pytest.raises(Exception):   # 7 does not match 2*b
+            serve(z)
+
     def test_indivisible_n_rejected(self):
         r = build_runner(tiny_cfg("cglgan", num_servers=2))
         with pytest.raises(ValueError, match="divisible"):
