@@ -149,6 +149,11 @@ CACHED_TPU_RECORD = {
 
 
 def main():
+    # persistent compilation cache: the four measured configs cost
+    # 20-100 s of first-compile each; steady-state throughput (measured
+    # after the warm-up call) is unaffected, only bench wall-clock.
+    from cglgan_tpu.utils import compile_cache
+    compile_cache.enable()
     if not _wait_for_tpu():
         print("bench: emitting the last live-measured record, labeled "
               "cached — the TPU tunnel never recovered within the wait "
