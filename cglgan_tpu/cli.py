@@ -406,6 +406,55 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_doctor(args) -> int:
+    """Environment diagnosis: versions, a BOUNDED backend probe (the
+    tunneled TPU backend can wedge such that `jax.devices()` hangs
+    forever — observed on the axon dev tunnel), compile-cache and native
+    dataplane status.  Prints one JSON object; exit 0 iff a backend
+    answered."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    report = {"python": _sys.version.split()[0]}
+    import jax
+    report["jax"] = jax.__version__
+
+    # backend probe in a killable subprocess — never hang the caller
+    env = dict(os.environ)
+    if args.platform:
+        env["JAX_PLATFORMS"] = args.platform
+    code = ("import jax, json; ds = jax.devices(); "
+            "print(json.dumps({'platform': ds[0].platform, "
+            "'device_kind': ds[0].device_kind, 'count': len(ds)}))")
+    try:
+        out = subprocess.run([_sys.executable, "-c", code],
+                             capture_output=True, text=True,
+                             timeout=args.probe_timeout, env=env)
+        if out.returncode == 0:
+            report["backend"] = json.loads(out.stdout.strip().splitlines()[-1])
+        else:
+            report["backend"] = {
+                "error": out.stderr.strip().splitlines()[-1][:200]}
+    except subprocess.TimeoutExpired:
+        report["backend"] = {
+            "error": f"unresponsive (device init exceeded "
+                     f"{args.probe_timeout}s — wedged tunnel?)"}
+
+    from cglgan_tpu.utils import compile_cache
+    cache_dir = os.environ.get("CGLGAN_TPU_COMPILE_CACHE",
+                               compile_cache.default_dir())
+    entries = (sum(len(fs) for _, _, fs in os.walk(cache_dir))
+               if os.path.isdir(cache_dir) else 0)
+    report["compile_cache"] = {"dir": cache_dir, "entries": entries}
+
+    from cglgan_tpu.data import native
+    report["native_dataplane"] = native.load_library() is not None
+
+    print(json.dumps(report, indent=1))
+    return 0 if "error" not in report["backend"] else 1
+
+
 def cmd_fid_stats(args) -> int:
     """Precompute real-image activation statistics for ``--fid-stats``.
 
@@ -499,6 +548,14 @@ def main(argv=None) -> int:
                          help="comma list of lowering targets, e.g. "
                               "cpu,tpu (default: current backend)")
     pexport.set_defaults(fn=cmd_export)
+    pdoc = sub.add_parser(
+        "doctor", help="diagnose the environment: versions, bounded "
+                       "backend probe, compile cache, native dataplane")
+    pdoc.add_argument("--platform", default=None,
+                      help="probe this backend (default: env/default)")
+    pdoc.add_argument("--probe-timeout", type=int, default=60,
+                      help="seconds before declaring the backend wedged")
+    pdoc.set_defaults(fn=cmd_doctor)
     pstats = sub.add_parser(
         "fid-stats", help="precompute real-image FID statistics "
                           "(.npz consumable via run/eval --fid-stats)")

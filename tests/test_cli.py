@@ -106,6 +106,15 @@ class TestCLI:
                            capture_output=True, text=True, timeout=120)
         assert "SERVE-OK" in r.stdout, r.stderr[-2000:]
 
+    def test_doctor_reports_environment(self):
+        out = run_cli(["doctor", "--platform", "cpu"], timeout=120)
+        assert out.returncode == 0, out.stderr[-2000:]
+        report = json.loads(out.stdout)
+        assert report["backend"]["platform"] == "cpu"
+        assert report["backend"]["count"] >= 1
+        assert "dir" in report["compile_cache"]
+        assert isinstance(report["native_dataplane"], bool)
+
     def test_bad_args(self):
         out = run_cli(["run", "nope"], timeout=60)
         assert out.returncode != 0
