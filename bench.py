@@ -102,27 +102,25 @@ def measure_tpu_rps(epoch: int = 1, dtype: str = "float32",
 def _wait_for_tpu(attempts: int = 5, probe_timeout: int = 120,
                   sleep_s: int = 120) -> bool:
     """The tunneled axon backend can wedge such that device init hangs
-    forever (observed round 3).  Probe it in a killable subprocess; return
-    False after a bounded wait instead of hanging the driver.  A FAST
-    non-timeout failure (import/registration error) still exits hard —
-    that is a code regression, not an infra wedge, and must not be
-    masked by the cached fallback."""
+    forever (observed round 3).  Probe it boundedly
+    (utils/backend_probe.py); return False after a bounded wait instead
+    of hanging the driver.  A FAST non-timeout failure
+    (import/registration error) still exits hard — that is a code
+    regression, not an infra wedge, and must not be masked by the cached
+    fallback."""
+    from cglgan_tpu.utils import backend_probe
     for i in range(attempts):
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                capture_output=True, text=True, timeout=probe_timeout)
-            if out.returncode == 0:
-                return True
-            print("bench: TPU device init failed:\n"
-                  + out.stderr.strip().splitlines()[-1],
+        status, info = backend_probe.probe(timeout=probe_timeout)
+        if status == "ok":
+            return True
+        if status == "error":
+            print(f"bench: TPU device init failed:\n{info}",
                   file=sys.stderr, flush=True)
             sys.exit(2)
-        except subprocess.TimeoutExpired:
-            print(f"bench: TPU backend unresponsive "
-                  f"(probe {i + 1}/{attempts})", file=sys.stderr, flush=True)
-            if i + 1 < attempts:
-                time.sleep(sleep_s)
+        print(f"bench: TPU backend unresponsive "
+              f"(probe {i + 1}/{attempts})", file=sys.stderr, flush=True)
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
     return False
 
 
@@ -152,8 +150,11 @@ def main():
     # persistent compilation cache: the four measured configs cost
     # 20-100 s of first-compile each; steady-state throughput (measured
     # after the warm-up call) is unaffected, only bench wall-clock.
+    # Respect a decision already made upstream (`tpufed bench
+    # --compile-cache off|DIR`); default on only when standalone.
     from cglgan_tpu.utils import compile_cache
-    compile_cache.enable()
+    if not compile_cache.configured():
+        compile_cache.enable()
     if not _wait_for_tpu():
         print("bench: emitting the last live-measured record, labeled "
               "cached — the TPU tunnel never recovered within the wait "

@@ -306,9 +306,10 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
     def gen(state: FedState, z):
         """Serving contract: eval-mode samples from caller latents ``z``
         of shape (n, zdim) with n divisible by S; server i generates from
-        ``z[i::S... ]``'s block.  Painter routing as in `sample`: multi-path
-        output is the concat of all heads, strided back down to the
-        per-server quota (capgan.py:79-83)."""
+        the contiguous block ``z[i*per:(i+1)*per]`` (per = n // S).
+        Painter routing as in `sample`: multi-path output is the concat of
+        all heads, strided back down to the per-server quota
+        (capgan.py:79-83)."""
         per = z.shape[0] // S
         zs = z.reshape((S, per, zdim))
 
@@ -331,4 +332,4 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
         return gen(state, z.reshape((S * per, zdim)))
 
     return runner_mod.Runner(cfg, part, init_state, round_fn, sample,
-                             gen=gen)
+                             gen=gen, gen_batch_multiple=S)

@@ -228,4 +228,4 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
         return gen(state, z.reshape((S * per, zdim)))
 
     return runner_mod.Runner(cfg, part, init_state, round_fn, sample,
-                             gen=gen)
+                             gen=gen, gen_batch_multiple=S)

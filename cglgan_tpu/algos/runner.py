@@ -30,6 +30,9 @@ class Runner(NamedTuple):
     # same eval-mode generator + painter routing as `sample`, but with
     # caller-supplied latents (the basis of `tpufed export`, utils/export.py)
     gen: Optional[Callable[[Any, jax.Array], jax.Array]] = None
+    # serving batch constraint: n must be a multiple of this (the
+    # per-server quota families set it to num_servers; 1 = any batch)
+    gen_batch_multiple: int = 1
 
 
 def scan_rounds(round_fn, n: int, unroll: int = 1):

@@ -393,7 +393,8 @@ def cmd_export(args) -> int:
         cfg = FedGANConfig(**json.load(f))
     runner = build_runner(cfg)
     state = restore_checkpoint(args.checkpoint, runner.init_state())
-    platforms = args.platforms.split(",") if args.platforms else None
+    platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
+                 if args.platforms else None)
     exported = export_generator(runner, state,
                                 args.n if args.n > 0 else None,
                                 platforms=platforms)
@@ -413,33 +414,24 @@ def cmd_doctor(args) -> int:
     dataplane status.  Prints one JSON object; exit 0 iff a backend
     answered."""
     import json
-    import subprocess
     import sys as _sys
 
     report = {"python": _sys.version.split()[0]}
     import jax
     report["jax"] = jax.__version__
 
-    # backend probe in a killable subprocess — never hang the caller
-    env = dict(os.environ)
-    if args.platform:
-        env["JAX_PLATFORMS"] = args.platform
-    code = ("import jax, json; ds = jax.devices(); "
-            "print(json.dumps({'platform': ds[0].platform, "
-            "'device_kind': ds[0].device_kind, 'count': len(ds)}))")
-    try:
-        out = subprocess.run([_sys.executable, "-c", code],
-                             capture_output=True, text=True,
-                             timeout=args.probe_timeout, env=env)
-        if out.returncode == 0:
-            report["backend"] = json.loads(out.stdout.strip().splitlines()[-1])
-        else:
-            report["backend"] = {
-                "error": out.stderr.strip().splitlines()[-1][:200]}
-    except subprocess.TimeoutExpired:
+    # bounded backend probe — never hang the caller (backend_probe.py)
+    from cglgan_tpu.utils import backend_probe
+    status, info = backend_probe.probe(timeout=args.probe_timeout,
+                                       platform=args.platform)
+    if status == "ok":
+        report["backend"] = info
+    elif status == "timeout":
         report["backend"] = {
             "error": f"unresponsive (device init exceeded "
                      f"{args.probe_timeout}s — wedged tunnel?)"}
+    else:
+        report["backend"] = {"error": info}
 
     from cglgan_tpu.utils import compile_cache
     cache_dir = os.environ.get("CGLGAN_TPU_COMPILE_CACHE",

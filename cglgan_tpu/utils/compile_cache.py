@@ -29,6 +29,15 @@ import warnings
 from typing import Optional
 
 _OFF = ("off", "0", "none", "")
+_configured = False
+
+
+def configured() -> bool:
+    """True once `enable()` has made a decision this process (including
+    the decision to DISABLE via off/env) — lets late callers like
+    bench.main() default the cache on without overriding an explicit
+    `--compile-cache off`/DIR choice made at the CLI."""
+    return _configured
 
 
 def default_dir() -> str:
@@ -51,6 +60,8 @@ def enable(path: Optional[str] = None,
     the directory while catching every real TPU round, which compiles in
     seconds to minutes).
     """
+    global _configured
+    _configured = True
     if path is None:
         path = os.environ.get("CGLGAN_TPU_COMPILE_CACHE", default_dir())
     if path.strip().lower() in _OFF:

@@ -38,23 +38,24 @@ def export_generator(runner, state, n: Optional[int] = None,
 
     ``n``: the serving batch.  An int bakes a fixed batch; ``None``
     exports a **batch-polymorphic** artifact via shape polymorphism — the
-    symbolic batch is ``S*b`` for the per-server-quota families (so the
-    divisibility constraint is structural: any multiple of num_servers
-    works at call time) and ``b`` (any batch) for flgan/fegan.
+    symbolic batch is ``m*b`` where ``m = runner.gen_batch_multiple``
+    (num_servers for the per-server-quota families, so the divisibility
+    constraint is structural; 1 = any batch).
 
     ``platforms``: lowering targets (e.g. ``["cpu", "tpu"]``); default =
     the current default backend.
     """
     if runner.gen is None:
         raise ValueError(f"{runner.cfg.algo} runner exposes no gen()")
-    S = runner.cfg.num_servers
-    per_server = runner.cfg.algo not in ("flgan", "fegan")
+    m = runner.gen_batch_multiple
     if n is None:
-        dim = f"{S}*b" if per_server and S > 1 else "b"
+        dim = f"{m}*b" if m > 1 else "b"
         (batch,) = jax.export.symbolic_shape(f"({dim},)")
     else:
-        if per_server and n % S:
-            raise ValueError(f"n={n} not divisible by num_servers={S}")
+        if n % m:
+            raise ValueError(
+                f"n={n} not divisible by the runner's serving batch "
+                f"multiple {m} (num_servers)")
         batch = n
     serve = jax.jit(lambda z: runner.gen(state, z))
     spec = jax.ShapeDtypeStruct((batch, runner.cfg.latent_dim), jnp.float32)

@@ -14,6 +14,9 @@ def run_cli(args, timeout=420):
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""   # disable the TPU plugin registration
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    # isolate from the developer's real compile cache: keep cold-compile
+    # paths tested and never write machine-global state from tests
+    env["CGLGAN_TPU_COMPILE_CACHE"] = "off"
     return subprocess.run(
         [sys.executable, "-m", "cglgan_tpu.cli"] + args,
         cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout)

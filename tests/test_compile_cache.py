@@ -56,6 +56,20 @@ def test_unwritable_path_warns_not_raises(tmp_path):
     assert out is None
 
 
+def test_configured_tracks_any_decision(tmp_path, restore_cache_config,
+                                        monkeypatch):
+    """`configured()` is True after ANY enable() decision — including an
+    explicit off — so bench.main's default-on guard cannot override a
+    `tpufed bench --compile-cache off|DIR` choice made at the CLI."""
+    monkeypatch.setattr(compile_cache, "_configured", False)
+    assert not compile_cache.configured()
+    assert compile_cache.enable("off") is None
+    assert compile_cache.configured()
+    monkeypatch.setattr(compile_cache, "_configured", False)
+    compile_cache.enable(str(tmp_path / "d"))
+    assert compile_cache.configured()
+
+
 def test_default_dir_is_xdg(monkeypatch):
     monkeypatch.setenv("XDG_CACHE_HOME", "/x/cache")
     assert compile_cache.default_dir() == "/x/cache/cglgan_tpu/xla"
@@ -78,13 +92,23 @@ def test_disk_round_trip(tmp_path, restore_cache_config):
     entries = [n for _, _, fs in os.walk(d) for n in fs]
     assert entries, "no persistent cache entry written"
 
-    # second compile of the SAME program from a fresh jit cache must hit
-    from jax._src import monitoring
-    hits = []
+    # second compile of the SAME program from a fresh jit cache must hit.
+    # The hit counter is only observable through jax's (private)
+    # monitoring events; deactivate our listener afterwards since there
+    # is no public unregister.
+    try:
+        from jax._src import monitoring
+    except ImportError:
+        pytest.skip("jax monitoring moved; disk entry above still proves "
+                    "persistence")
+    hits, active = [], [True]
     monitoring.register_event_listener(
-        lambda name, **kw: hits.append(name))
-    make()(jnp.ones((17, 5))).block_until_ready()
-    assert any(h.endswith("cache_hits") for h in hits), hits
+        lambda name, **kw: hits.append(name) if active[0] else None)
+    try:
+        make()(jnp.ones((17, 5))).block_until_ready()
+        assert any(h.endswith("cache_hits") for h in hits), hits
+    finally:
+        active[0] = False
 
 
 def test_cli_wires_the_flag(tmp_path, restore_cache_config):
