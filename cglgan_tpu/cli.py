@@ -99,6 +99,9 @@ def _add_run_args(p: argparse.ArgumentParser, with_algo: bool = True) -> None:
                         "auto/off = XLA path, on = force the kernel)")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of one eval chunk")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="also stream per-tick metrics as TensorBoard "
+                        "scalars under <run>/tb/")
     _add_cache_arg(p)
 
 
@@ -171,7 +174,8 @@ def _execute_run(args) -> dict:
               "Distribution Score (see PERF.md); use float32 for 2DMG "
               "fidelity runs")
     part = load_partition(cfg)
-    run_dir = RunDir(args.out, args.name, cfg)
+    run_dir = RunDir(args.out, args.name, cfg,
+                     tensorboard=getattr(args, "tensorboard", False))
     print(f"[tpufed] run dir: {run_dir.path}")
     print(f"[tpufed] devices: {jax.devices()}")
     print(f"[tpufed] shards: {part.lengths.tolist()}")

@@ -4,7 +4,10 @@ Replaces the reference's observability stack — timestamped
 ``./logger/<SimulationName>/`` dirs (CGLGAN/MNIST/main.py:485-491), prints
 under a lock, pandas ``df.append`` -> ``.xlsx`` per tick (uses an API removed
 from pandas; FLGAN/2DMG/flgan.py:102) — with a structured JSONL stream plus a
-CSV mirror (no openpyxl in this image) and a JSON config dump.
+CSV mirror (no openpyxl in this image), a JSON config dump, and an optional
+TensorBoard scalar stream (``tensorboard=True`` / ``--tensorboard``; scalars
+land under ``<run>/tb/`` next to the ``--profile`` traces so metrics and
+xprof live in one TensorBoard).
 """
 from __future__ import annotations
 
@@ -21,7 +24,7 @@ class RunDir:
     metrics.csv and image artifacts."""
 
     def __init__(self, root: str = "./logger", name: Optional[str] = None,
-                 cfg=None):
+                 cfg=None, tensorboard: bool = False):
         if name is None:
             stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
             algo = getattr(cfg, "algo", "run") if cfg is not None else "run"
@@ -34,6 +37,16 @@ class RunDir:
         self._csv_path = os.path.join(self.path, "metrics.csv")
         self._csv_fields = None
         self._records = []
+        self._tb = None
+        if tensorboard:
+            # torch (CPU) ships in this image; degrade gracefully elsewhere
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(self.file("tb"))
+            except ImportError:
+                import warnings
+                warnings.warn("tensorboard requested but not importable; "
+                              "continuing with JSONL/CSV only")
         if cfg is not None:
             with open(os.path.join(self.path, "config.json"), "w") as f:
                 json.dump(dataclasses.asdict(cfg), f, indent=2)
@@ -59,6 +72,14 @@ class RunDir:
         # FLGAN/2DMG/flgan.py:102-103) — stdlib writer, no openpyxl needed
         from cglgan_tpu.utils.xlsx import write_xlsx
         write_xlsx(os.path.join(self.path, "metrics.xlsx"), self._records)
+        if self._tb is not None:
+            step = int(record.get("round", len(self._records)))
+            for k, v in record.items():
+                if k != "round" and isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, v, step)
+            self._tb.flush()
 
     def close(self) -> None:
         self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()

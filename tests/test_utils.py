@@ -84,6 +84,34 @@ class TestRunDir:
         saved_cfg = json.load(open(rd.file("config.json")))
         assert saved_cfg["algo"] == "flgan"
 
+    def test_tensorboard_scalar_stream(self, tmp_path):
+        """tensorboard=True streams numeric tick fields as TB scalars
+        under <run>/tb/ (SURVEY §5: 'CSV/JSONL + optional TensorBoard')."""
+        pytest.importorskip("torch.utils.tensorboard")
+        rd = RunDir(str(tmp_path), "runTB",
+                    FedGANConfig(algo="flgan", dataset="2dmg"),
+                    tensorboard=True)
+        rd.log({"round": 10, "kl": 0.5, "note": "non-numeric skipped"})
+        rd.close()
+        import glob
+        events = glob.glob(rd.file("tb") + "/events.out.tfevents.*")
+        assert events, "no TensorBoard event file written"
+        # the scalar round-trips through the event file
+        from tensorboard.backend.event_processing.event_accumulator import \
+            EventAccumulator
+        acc = EventAccumulator(rd.file("tb"))
+        acc.Reload()
+        assert "kl" in acc.Tags()["scalars"]
+        (ev,) = acc.Scalars("kl")
+        assert ev.step == 10 and abs(ev.value - 0.5) < 1e-6
+
+    def test_tensorboard_off_by_default(self, tmp_path):
+        rd = RunDir(str(tmp_path), "runNoTB",
+                    FedGANConfig(algo="flgan", dataset="2dmg"))
+        rd.log({"round": 1, "kl": 0.5})
+        rd.close()
+        assert not os.path.exists(rd.file("tb"))
+
 
 class TestImaging:
     def test_grid_png(self, tmp_path):
