@@ -102,6 +102,11 @@ def _add_run_args(p: argparse.ArgumentParser, with_algo: bool = True) -> None:
     p.add_argument("--tensorboard", action="store_true",
                    help="also stream per-tick metrics as TensorBoard "
                         "scalars under <run>/tb/")
+    p.add_argument("--from-config", default=None, metavar="CONFIG_JSON",
+                   help="load the full knob set verbatim from a run dir's "
+                        "config.json for an exact rerun (other knob flags "
+                        "are ignored; runtime flags --out/--name/--devices/"
+                        "--resume/... still apply)")
     _add_cache_arg(p)
 
 
@@ -121,6 +126,20 @@ def _enable_compile_cache(args) -> None:
 
 
 def cfg_from_args(args) -> FedGANConfig:
+    fc = getattr(args, "from_config", None)
+    if fc:
+        # exact rerun of an archived run: every run dir saves its frozen
+        # config as config.json (RESULTS.md reproduces from these)
+        import json
+        with open(fc) as f:
+            d = json.load(f)
+        if args.algo != d.get("algo"):
+            raise SystemExit(f"[tpufed] --from-config holds a "
+                             f"{d.get('algo')!r} config but the command "
+                             f"says {args.algo!r}")
+        print(f"[tpufed] config loaded verbatim from {fc} "
+              f"(other knob flags ignored; runtime flags still apply)")
+        return FedGANConfig(**d)
     is_image = args.dataset != "2dmg"
     rounds = args.rounds if args.rounds is not None else (
         20000 if is_image else 10000)

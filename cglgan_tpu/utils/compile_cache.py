@@ -21,6 +21,11 @@ directory resolves, in order:
 Enabling is best-effort: on an unwritable filesystem the cache is skipped
 with a warning rather than failing the run.  Entries are keyed by backend,
 so one directory safely serves CPU tests and TPU runs side by side.
+
+Caveat: XLA:CPU entries embed the compiling host's CPU features — do not
+share a cache directory across heterogeneous hosts (XLA logs a
+machine-feature mismatch and may SIGILL).  TPU entries are keyed by
+device kind and are safe to share between same-generation chips.
 """
 from __future__ import annotations
 

@@ -109,6 +109,35 @@ class TestCLI:
                            capture_output=True, text=True, timeout=120)
         assert "SERVE-OK" in r.stdout, r.stderr[-2000:]
 
+    def test_from_config_reruns_exactly(self, tmp_path):
+        """--from-config reloads an archived config.json verbatim; the
+        rerun's metric stream is bit-identical (deterministic rounds)."""
+        base = ["--num-workers", "4", "--num-class", "5",
+                "--num-sample", "200", "--batch-size", "32",
+                "--rounds", "12", "--num-plt", "6",
+                "--ckpt-every", "0", "--platform", "cpu"]
+        out = run_cli(["run", "flgan", "--dataset", "2dmg", *base,
+                       "--out", str(tmp_path), "--name", "orig"])
+        assert out.returncode == 0, out.stderr[-2000:]
+        cfgp = tmp_path / "orig" / "config.json"
+        out = run_cli(["run", "flgan", "--from-config", str(cfgp),
+                       "--ckpt-every", "0", "--platform", "cpu",
+                       "--out", str(tmp_path), "--name", "rerun"])
+        assert out.returncode == 0, out.stderr[-2000:]
+        orig = (tmp_path / "orig" / "metrics.jsonl").read_text()
+        rerun = (tmp_path / "rerun" / "metrics.jsonl").read_text()
+        strip = lambda t: [  # noqa: E731 — drop wall-clock fields
+            {k: v for k, v in json.loads(l).items()
+             if k not in ("wall_s", "rounds_per_s")}
+            for l in t.strip().splitlines()]
+        assert strip(orig) == strip(rerun)
+        # algo mismatch is rejected
+        out = run_cli(["run", "mdgan", "--from-config", str(cfgp),
+                       "--platform", "cpu", "--out", str(tmp_path)],
+                      timeout=60)
+        assert out.returncode != 0
+        assert "holds a 'flgan' config" in out.stderr + out.stdout
+
     def test_doctor_reports_environment(self):
         out = run_cli(["doctor", "--platform", "cpu"], timeout=120)
         assert out.returncode == 0, out.stderr[-2000:]
