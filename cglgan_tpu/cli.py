@@ -324,14 +324,62 @@ def cmd_sweep(args) -> int:
                 _write_summary_csv(os.path.join(root, "sweep_summary.csv"),
                                    summaries)
 
-    cols = [k for k in summaries[0] if k != "run_dir"] if summaries else []
-    print("[tpufed] sweep summary:")
+    _print_summary_table(summaries, "sweep summary")
+    print(f"[tpufed] table: {os.path.join(root, 'sweep_summary.xlsx')}")
+    return 0
+
+
+def _print_summary_table(rows, label: str) -> None:
+    cols = []           # union across rows, first-appearance order
+    for r in rows:
+        cols += [k for k in r if k != "run_dir" and k not in cols]
+    print(f"[tpufed] {label}:")
     print("  " + " | ".join(cols))
-    for row in summaries:
+    for row in rows:
         print("  " + " | ".join(
             f"{row.get(c):.4f}" if isinstance(row.get(c), float)
             else str(row.get(c, "")) for c in cols))
-    print(f"[tpufed] table: {os.path.join(root, 'sweep_summary.xlsx')}")
+
+
+def cmd_compare(args) -> int:
+    """Tabulate archived run dirs into one comparison table — the
+    cross-run view `sweep` emits, but over ANY existing runs (e.g.
+    `tpufed compare results/runs/*`), without retraining anything."""
+    import json
+
+    from cglgan_tpu.utils.xlsx import write_xlsx
+
+    rows = []
+    for d in args.run_dirs:
+        cfg_p = os.path.join(d, "config.json")
+        met_p = os.path.join(d, "metrics.jsonl")
+        if not (os.path.isfile(cfg_p) and os.path.isfile(met_p)):
+            print(f"[tpufed] skipping {d}: no config.json + metrics.jsonl")
+            continue
+        with open(cfg_p) as f:
+            cfg = json.load(f)
+        last = None
+        with open(met_p) as f:
+            for line in f:
+                if line.strip():
+                    last = json.loads(line)
+        if last is None:
+            print(f"[tpufed] skipping {d}: empty metrics.jsonl")
+            continue
+        row = {"algo": cfg.get("algo"), "dataset": cfg.get("dataset"),
+               "iid": cfg.get("iid"), "run_dir": d}
+        row.update({k: v for k, v in last.items()
+                    if isinstance(v, (int, float))})
+        rows.append(row)
+    if not rows:
+        raise SystemExit("[tpufed] no usable run dirs")
+    rows.sort(key=lambda r: (str(r["dataset"]), str(r["iid"]),
+                             str(r["algo"])))
+    _print_summary_table(rows, f"comparison ({len(rows)} runs)")
+    if args.out:
+        write_xlsx(args.out + ".xlsx", rows)
+        _write_summary_csv(args.out + ".csv", rows)
+        print(f"[tpufed] table: {args.out}.xlsx / .csv")
     return 0
 
 
@@ -563,6 +611,15 @@ def main(argv=None) -> int:
                          help="comma list of lowering targets, e.g. "
                               "cpu,tpu (default: current backend)")
     pexport.set_defaults(fn=cmd_export)
+    pcomp = sub.add_parser(
+        "compare", help="tabulate archived run dirs into one comparison "
+                        "table (final-tick metrics per run)")
+    pcomp.add_argument("run_dirs", nargs="+",
+                       help="run directories (each with config.json + "
+                            "metrics.jsonl), e.g. results/runs/*")
+    pcomp.add_argument("--out", default=None,
+                       help="also write <out>.xlsx and <out>.csv")
+    pcomp.set_defaults(fn=cmd_compare)
     pdoc = sub.add_parser(
         "doctor", help="diagnose the environment: versions, bounded "
                        "backend probe, compile cache, native dataplane")

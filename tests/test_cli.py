@@ -138,6 +138,25 @@ class TestCLI:
         assert out.returncode != 0
         assert "holds a 'flgan' config" in out.stderr + out.stdout
 
+    def test_compare_tabulates_archived_runs(self, tmp_path):
+        """`tpufed compare` tabulates existing run dirs without
+        retraining — driven over the repo's own archived results."""
+        import glob
+        runs = sorted(glob.glob(os.path.join(REPO, "results", "runs",
+                                             "2dmg-iid2-*")))
+        if not runs:
+            pytest.skip("archived results not present")
+        out = run_cli(["compare", *runs,
+                       "--out", str(tmp_path / "cmp")], timeout=120)
+        assert out.returncode == 0, out.stderr[-2000:]
+        lines = [l for l in out.stdout.splitlines() if " | " in l]
+        assert len(lines) == len(runs) + 1           # header + one per run
+        assert (tmp_path / "cmp.csv").exists()
+        assert (tmp_path / "cmp.xlsx").exists()
+        # the cglgan row reproduces the RESULTS.md headline metrics
+        cgl = [l for l in lines if l.strip().startswith("cglgan")][0]
+        assert "1.0000" in cgl                        # full mode coverage
+
     def test_doctor_reports_environment(self):
         out = run_cli(["doctor", "--platform", "cpu"], timeout=120)
         assert out.returncode == 0, out.stderr[-2000:]
