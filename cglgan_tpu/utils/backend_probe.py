@@ -14,8 +14,16 @@ import subprocess
 import sys
 from typing import Any, Dict, Optional, Tuple
 
+# A requested platform is enforced via jax.config INSIDE the child: this
+# image's sitecustomize registers the axon TPU plugin and overrides the
+# JAX_PLATFORMS env var, so env alone cannot steer the probe away from a
+# wedged default backend — the config update after import wins (same
+# technique as tests/conftest.py).
 _PROBE_CODE = (
-    "import jax, json; ds = jax.devices(); "
+    "import json, os; import jax; "
+    "p = os.environ.get('CGLGAN_PROBE_PLATFORM'); "
+    "jax.config.update('jax_platforms', p) if p else None; "
+    "ds = jax.devices(); "
     "print(json.dumps({'platform': ds[0].platform, "
     "'device_kind': ds[0].device_kind, 'count': len(ds)}))")
 
@@ -31,7 +39,7 @@ def probe(timeout: int = 60,
     """
     env = dict(os.environ)
     if platform:
-        env["JAX_PLATFORMS"] = platform
+        env["CGLGAN_PROBE_PLATFORM"] = platform
     try:
         out = subprocess.run([sys.executable, "-c", _PROBE_CODE],
                              capture_output=True, text=True,
