@@ -289,6 +289,10 @@ def cmd_sweep(args) -> int:
 
     from cglgan_tpu.utils.xlsx import write_xlsx
 
+    if getattr(args, "from_config", None):
+        # a frozen config would silently override the swept dataset/iid
+        raise SystemExit("[tpufed] --from-config is for single runs; "
+                         "sweep builds each sub-run's config itself")
     algos = [a.strip() for a in args.algos.split(",") if a.strip()]
     datasets = [d.strip() for d in args.datasets.split(",") if d.strip()]
     iids = [int(x) for x in args.iids.split(",")]

@@ -138,6 +138,14 @@ class TestCLI:
         assert out.returncode != 0
         assert "holds a 'flgan' config" in out.stderr + out.stdout
 
+    def test_sweep_rejects_from_config(self, tmp_path):
+        """--from-config would silently override the swept dataset/iid."""
+        out = run_cli(["sweep", "--algos", "flgan", "--datasets", "2dmg",
+                       "--iids", "0", "--from-config", "whatever.json",
+                       "--out", str(tmp_path)], timeout=60)
+        assert out.returncode != 0
+        assert "--from-config is for single runs" in out.stderr + out.stdout
+
     def test_compare_tabulates_archived_runs(self, tmp_path):
         """`tpufed compare` tabulates existing run dirs without
         retraining — driven over the repo's own archived results."""
