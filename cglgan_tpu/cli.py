@@ -22,6 +22,12 @@ import sys
 
 from cglgan_tpu.core.config import ALGOS, DATASETS, FedGANConfig, WEIGHTINGS
 
+# mirrors models.zoo.GEN_SPECS (asserted equal in tests/test_cli.py) —
+# cli.py keeps its top-level imports jax-free so `tpufed doctor` can probe
+# a wedged backend without importing it
+GEN_SPECS = ("2dmg-small", "2dmg-mlp", "2dmg-multipath", "mnist-mlp",
+             "mnist-multipath", "conv", "conv-multipath")
+
 
 def _add_run_args(p: argparse.ArgumentParser, with_algo: bool = True) -> None:
     if with_algo:
@@ -482,6 +488,60 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_import_torch(args) -> int:
+    """Import a reference ``torch.save(net_g.state_dict())`` checkpoint
+    (the only artifact the reference trainers produce —
+    CGLGAN/MNIST/main.py:191, capgan.py:186-198) into this framework:
+    detect the generator family from the state_dict, convert to our
+    functional pytrees, and optionally draw samples and/or export a
+    StableHLO serving artifact.  Prints one JSON summary line."""
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import json
+
+    import jax
+    import numpy as np
+
+    from cglgan_tpu.utils.torch_import import import_generator_file
+
+    model, params, state, info = import_generator_file(
+        args.checkpoint, family=args.family,
+        num_heads=args.num_heads,
+        img_shape=((1, args.img_size, args.img_size)
+                   if args.img_size else None))
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    report = {"checkpoint": args.checkpoint, **info, "params": n_params}
+
+    if args.samples:
+        z = jax.random.normal(jax.random.key(args.seed), (args.n, 100))
+        y, _ = model.apply(params, state, z, train=False)
+        y = np.asarray(y)
+        if model.multipath:   # heads onto batch, reference cat(dim=0)
+            y = y.reshape((-1,) + y.shape[2:])
+        if y.ndim >= 3:       # image families -> grid PNG
+            from cglgan_tpu.utils.imaging import save_image_grid
+            save_image_grid(y.reshape(-1, *y.shape[-3:])[:100], args.samples)
+        else:                 # 2DMG points -> raw array
+            np.save(args.samples, y)
+        report["samples"] = args.samples
+
+    if args.export:
+        from cglgan_tpu.utils.export import export_imported, save_generator
+        platforms = ([p.strip() for p in args.platforms.split(",")
+                      if p.strip()] if args.platforms else None)
+        exported = export_imported(model, params, state,
+                                   args.export_n if args.export_n > 0
+                                   else None, platforms=platforms)
+        manifest = save_generator(exported, args.export,
+                                  {"imported_from": args.checkpoint,
+                                   "family": info["family"]})
+        report["export"] = {"out": args.export, **manifest}
+
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_doctor(args) -> int:
     """Environment diagnosis: versions, a BOUNDED backend probe (the
     tunneled TPU backend can wedge such that `jax.devices()` hangs
@@ -615,6 +675,33 @@ def main(argv=None) -> int:
                          help="comma list of lowering targets, e.g. "
                               "cpu,tpu (default: current backend)")
     pexport.set_defaults(fn=cmd_export)
+    pimp = sub.add_parser(
+        "import-torch",
+        help="import a reference torch.save(net_g.state_dict()) .pt "
+             "checkpoint: detect the generator family, convert to this "
+             "framework's pytrees, optionally sample and/or export")
+    pimp.add_argument("checkpoint", help="path to a reference .pt file")
+    pimp.add_argument("--family", default=None, choices=GEN_SPECS,
+                      help="override the auto-detected generator family")
+    pimp.add_argument("--num-heads", type=int, default=None,
+                      help="override the detected multipath head count")
+    pimp.add_argument("--img-size", type=int, default=None,
+                      help="override the detected square image side")
+    pimp.add_argument("--samples", default=None,
+                      help="write an eval-mode sample artifact here "
+                           "(PNG grid for image families, .npy for 2DMG)")
+    pimp.add_argument("--n", type=int, default=100,
+                      help="latents to draw for --samples")
+    pimp.add_argument("--seed", type=int, default=0)
+    pimp.add_argument("--export", default=None,
+                      help="also export a StableHLO serving artifact here")
+    pimp.add_argument("--export-n", type=int, default=0,
+                      help="serving batch baked into --export; 0 = "
+                           "batch-polymorphic")
+    pimp.add_argument("--platform", default=None)
+    pimp.add_argument("--platforms", default=None,
+                      help="comma list of lowering targets for --export")
+    pimp.set_defaults(fn=cmd_import_torch)
     pcomp = sub.add_parser(
         "compare", help="tabulate archived run dirs into one comparison "
                         "table (final-tick metrics per run)")

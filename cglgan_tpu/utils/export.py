@@ -63,6 +63,30 @@ def export_generator(runner, state, n: Optional[int] = None,
         serve, platforms=list(platforms) if platforms else None)(spec)
 
 
+def export_imported(model, params, state, n: Optional[int] = None,
+                    latent_dim: int = 100,
+                    platforms: Optional[Sequence[str]] = None):
+    """Export an **imported reference generator** (utils/torch_import.py)
+    with the same serving contract as :func:`export_generator`:
+    eval-mode forward, weights baked in, ``z[n, latent] -> samples``.
+    Multi-path heads are flattened onto the batch axis, matching the
+    reference's ``torch.cat(img, dim=0)`` forward (model/mnist_model.py:66)
+    — callers get ``(num_heads * n, *img)``."""
+    def serve(z):
+        y, _ = model.apply(params, state, z, train=False)
+        if model.multipath:
+            y = y.reshape((-1,) + y.shape[2:])
+        return y
+
+    if n is None:
+        (batch,) = jax.export.symbolic_shape("(b,)")
+    else:
+        batch = n
+    spec = jax.ShapeDtypeStruct((batch, latent_dim), jnp.float32)
+    return jax.export.export(
+        jax.jit(serve), platforms=list(platforms) if platforms else None)(spec)
+
+
 def save_generator(exported, path: str,
                    manifest_extra: Optional[Dict[str, Any]] = None) -> Dict:
     """Serialize an Exported to ``path`` plus a ``path.json`` manifest."""

@@ -109,6 +109,46 @@ class TestCLI:
                            capture_output=True, text=True, timeout=120)
         assert "SERVE-OK" in r.stdout, r.stderr[-2000:]
 
+    def test_import_torch_end_to_end(self, tmp_path):
+        """A reference-style torch .pt generator checkpoint imports,
+        samples, and exports a serving artifact through the CLI."""
+        torch = pytest.importorskip("torch")
+        import torch.nn as tnn
+
+        class G(tnn.Module):   # CGLGAN/2DMG/model.py:26-50 shape
+            def __init__(self, n):
+                super().__init__()
+                self.model = tnn.Sequential(tnn.Linear(100, 32),
+                                            tnn.LeakyReLU(0.2))
+                self.paths = tnn.ModuleList(
+                    [tnn.Sequential(tnn.Linear(32, 2), tnn.Tanh())
+                     for _ in range(n)])
+
+        pt = tmp_path / "Server3.pt"
+        torch.save(G(4).state_dict(), str(pt))
+        samples = tmp_path / "s.npy"
+        art = tmp_path / "imported.stablehlo"
+        out = run_cli(["import-torch", str(pt), "--platform", "cpu",
+                       "--samples", str(samples), "--n", "10",
+                       "--export", str(art), "--export-n", "10"])
+        assert out.returncode == 0, out.stderr[-2000:]
+        report = json.loads(out.stdout.strip().splitlines()[-1])
+        assert report["family"] == "2dmg-multipath"
+        assert report["num_heads"] == 4
+        import numpy as np
+        assert np.load(samples).shape == (40, 2)   # heads cat onto batch
+        manifest = json.loads((tmp_path / "imported.stablehlo.json")
+                              .read_text())
+        assert manifest["out_shape"] == [40, 2]
+        assert manifest["imported_from"] == str(pt)
+
+    def test_gen_specs_mirror(self):
+        """cli.GEN_SPECS mirrors models.zoo.GEN_SPECS (kept separate so
+        cli.py's top level stays jax-free for `tpufed doctor`)."""
+        from cglgan_tpu import cli
+        from cglgan_tpu.models import zoo
+        assert cli.GEN_SPECS == zoo.GEN_SPECS
+
     def test_from_config_reruns_exactly(self, tmp_path):
         """--from-config reloads an archived config.json verbatim; the
         rerun's metric stream is bit-identical (deterministic rounds)."""
