@@ -526,6 +526,31 @@ def cmd_import_torch(args) -> int:
             np.save(args.samples, y)
         report["samples"] = args.samples
 
+    if args.eval_dataset:
+        # score the imported G with the standard workload evaluator:
+        # FID / Inception Score on images (FLGAN/MNIST/flgan.py:62-104
+        # cadence metrics), KL/DS/mode-coverage on 2DMG — the same
+        # metrics a `tpufed run` of that dataset reports.
+        from cglgan_tpu.algos.registry import load_partition
+        from cglgan_tpu.evalx.evaluator import make_evaluator
+        img_shape = info["img_shape"]
+        conv = info["family"].startswith("conv")
+        cfg = FedGANConfig(
+            algo="capgan", dataset=args.eval_dataset, conv=conv,
+            img_size=(28 if conv else
+                      (img_shape[-1] if len(img_shape) == 3 else 28)),
+            data_dir=args.data_dir)
+        part = load_partition(cfg)
+        evaluator = make_evaluator(
+            cfg, part, eval_n=args.n, fid_stats=args.fid_stats,
+            inception_weights=args.inception_weights)
+        z = jax.random.normal(jax.random.key(args.seed + 1), (args.n, 100))
+        y, _ = model.apply(params, state, z, train=False)
+        y = np.asarray(y)
+        if model.multipath:
+            y = y.reshape((-1,) + y.shape[2:])
+        report.update(evaluator(None, None, samples=y))
+
     if args.export:
         from cglgan_tpu.utils.export import export_imported, save_generator
         platforms = ([p.strip() for p in args.platforms.split(",")
@@ -693,6 +718,18 @@ def main(argv=None) -> int:
     pimp.add_argument("--n", type=int, default=100,
                       help="latents to draw for --samples")
     pimp.add_argument("--seed", type=int, default=0)
+    pimp.add_argument("--eval-dataset", default=None, choices=DATASETS,
+                      help="score the imported generator with the standard "
+                           "workload evaluator against this dataset "
+                           "(FID/IS for images, KL/DS/coverage for 2dmg)")
+    pimp.add_argument("--data-dir", default=None,
+                      help="IDX files for real MNIST (--eval-dataset)")
+    pimp.add_argument("--fid-stats", default=None,
+                      help="precomputed real-image (mu, sigma) .npz "
+                           "(--eval-dataset)")
+    pimp.add_argument("--inception-weights", default=None,
+                      help="InceptionV3 weights .npz for reference FID "
+                           "(--eval-dataset)")
     pimp.add_argument("--export", default=None,
                       help="also export a StableHLO serving artifact here")
     pimp.add_argument("--export-n", type=int, default=0,

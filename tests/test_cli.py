@@ -130,11 +130,14 @@ class TestCLI:
         art = tmp_path / "imported.stablehlo"
         out = run_cli(["import-torch", str(pt), "--platform", "cpu",
                        "--samples", str(samples), "--n", "10",
+                       "--eval-dataset", "2dmg",
                        "--export", str(art), "--export-n", "10"])
         assert out.returncode == 0, out.stderr[-2000:]
         report = json.loads(out.stdout.strip().splitlines()[-1])
         assert report["family"] == "2dmg-multipath"
         assert report["num_heads"] == 4
+        # --eval-dataset scored the imported G with the workload evaluator
+        assert "kl_score" in report and "mode_coverage" in report
         import numpy as np
         assert np.load(samples).shape == (40, 2)   # heads cat onto batch
         manifest = json.loads((tmp_path / "imported.stablehlo.json")
