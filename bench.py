@@ -32,9 +32,12 @@ import time
 _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _HERE)
 
-# Fallbacks if the live measurement fails: self-measured on this image
-# (torch 1-thread CPU, 16 workers, batch 100, CAP-GAN protocol).
-TORCH_CPU_BASELINE_FALLBACK_RPS = {1: 4.08, 5: 0.48}
+# Fallbacks if the live measurement fails: the BEST live measurement ever
+# recorded on this image (torch 1-thread CPU, 16 workers, batch 100,
+# CAP-GAN protocol).  Keeping the floor at the best-known baseline keeps
+# vs_baseline conservative when the live run lands on a contended box
+# (epoch=5 first measured 0.48, later 0.80 on an idle box — floor at 0.80).
+TORCH_CPU_BASELINE_FALLBACK_RPS = {1: 4.08, 5: 0.80}
 
 
 def measure_baseline_rps(epoch: int = 1, timeout: int = 240) -> tuple:
@@ -129,19 +132,19 @@ def _wait_for_tpu(attempts: int = 5, probe_timeout: int = 120,
 # time, so an infra outage degrades the artifact instead of erasing it.
 CACHED_TPU_RECORD = {
     "metric": "capgan16_mnist_rounds_per_sec",
-    "value": 3599.0,
+    "value": 3604.78,
     "unit": "federated rounds/sec (16 clients, batch 100)",
-    "vs_baseline": 882.0,
+    "vs_baseline": 883.52,
     "baseline_rps": 4.08,
     "baseline_source": "cached",
-    "epoch5_rounds_per_sec": 1379.0,
-    "epoch5_vs_baseline": 1714.0,
-    "epoch5_baseline_rps": 0.804,
+    "epoch5_rounds_per_sec": 1377.69,
+    "epoch5_vs_baseline": 1722.0,
+    "epoch5_baseline_rps": 0.80,
     "epoch5_baseline_source": "cached",
-    "bf16_rounds_per_sec": 5027.0,
-    "bf16_vs_baseline": 1232.0,
-    "bf16_epoch5_rounds_per_sec": 1646.0,
-    "bf16_epoch5_vs_baseline": 2046.0,
+    "bf16_rounds_per_sec": 4941.89,
+    "bf16_vs_baseline": 1211.25,
+    "bf16_epoch5_rounds_per_sec": 1651.23,
+    "bf16_epoch5_vs_baseline": 2064.0,
     "tpu_source": "cached-round3 (axon tunnel unresponsive at bench time)",
 }
 
