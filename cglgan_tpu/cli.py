@@ -85,6 +85,10 @@ def _add_run_args(p: argparse.ArgumentParser, with_algo: bool = True) -> None:
                    help="checkpoint cadence in rounds (reference: 5000)")
     p.add_argument("--resume", default=None,
                    help="path to a checkpoint to resume from")
+    p.add_argument("--init-from-torch", default=None,
+                   help="comma list of reference .pt generator state_dicts "
+                        "to warm-start from (one per stacked G, or one to "
+                        "broadcast); optimizer state starts fresh")
     p.add_argument("--platform", default=None,
                    help="force a jax platform, e.g. cpu")
     p.add_argument("--devices", type=int, default=0,
@@ -224,6 +228,16 @@ def _execute_run(args) -> dict:
         print(f"[tpufed] mesh {dict(mesh.shape)}")
     runner = build_runner(cfg, part, mesh=mesh)
     state = runner.init_state()
+    init_pts = getattr(args, "init_from_torch", None)
+    if init_pts and args.resume:
+        raise SystemExit("--init-from-torch and --resume are mutually "
+                         "exclusive (a checkpoint already has generators)")
+    if init_pts:
+        from cglgan_tpu.utils.torch_import import warm_start_generators
+        paths = [p.strip() for p in init_pts.split(",") if p.strip()]
+        state = warm_start_generators(state, paths)
+        print(f"[tpufed] generators warm-started from {len(paths)} "
+              f"reference checkpoint(s)")
     if args.resume:
         state = restore_checkpoint(args.resume, state)
         print(f"[tpufed] resumed from {args.resume} at round {int(state.t)}")

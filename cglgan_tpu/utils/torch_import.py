@@ -327,6 +327,77 @@ def import_generator(sd: Dict[str, np.ndarray], family: str,
     return to_dev(params), to_dev(state)
 
 
+def warm_start_generators(state, paths):
+    """Warm-start a freshly initialised FedState's generators from
+    reference ``.pt`` checkpoints — continue training a reference model
+    here.
+
+    Handles both generator layouts: algorithms that stack one G per
+    server/worker on a leading axis (MD-GAN/AC-GAN/CGL families — pass
+    one ``.pt`` per server, or one to broadcast) and algorithms that
+    share a single G (FL-GAN/FeGAN — pass exactly one).  Parameters and
+    BN running stats are replaced; optimizer state stays fresh (the
+    reference saves no optimizer state, and its own 5000-round reload
+    points would restart Adam too).  Leaves are cast to the template's
+    dtype and placed on its sharding, so warm-started sharded runs stay
+    on the jit fast path."""
+    import jax
+    import jax.numpy as jnp
+
+    imports = [import_generator_file(p) for p in paths]
+    keys = {(i[3]["family"], i[3]["num_heads"], tuple(i[3]["img_shape"]))
+            for i in imports}
+    if len(keys) > 1:
+        raise TorchImportError(
+            f"checkpoints disagree on the generator architecture: {keys}")
+
+    def merge(tmpl, singles, what):
+        ref = singles[0]
+        if jax.tree.structure(tmpl) != jax.tree.structure(ref):
+            raise TorchImportError(
+                f"imported {what} tree does not match the run's generator "
+                f"family (imported {imports[0][3]['family']!r})")
+        t_leaves = jax.tree.leaves(tmpl)
+        s_leaves = jax.tree.leaves(ref)
+        if not t_leaves:
+            return tmpl
+        if t_leaves[0].shape == s_leaves[0].shape:
+            if len(singles) != 1:
+                raise TorchImportError(
+                    "this algorithm shares ONE generator across workers "
+                    f"(FL-GAN/FeGAN layout); got {len(singles)} checkpoints "
+                    "— pass a single .pt")
+            new = ref
+        elif t_leaves[0].shape[1:] == s_leaves[0].shape:
+            S = t_leaves[0].shape[0]
+            if len(singles) == 1:
+                singles = singles * S
+            elif len(singles) != S:
+                raise TorchImportError(
+                    f"run has {S} stacked generators; got {len(singles)} "
+                    "checkpoints (pass 1 to broadcast, or one per server)")
+            new = jax.tree.map(lambda *xs: np.stack(
+                [np.asarray(x) for x in xs]), *singles)
+        else:
+            raise TorchImportError(
+                f"imported generator shapes do not match the run's "
+                f"({s_leaves[0].shape} vs template {t_leaves[0].shape})")
+
+        def put(n, o):
+            n = np.asarray(n)
+            if n.shape != o.shape:
+                raise TorchImportError(
+                    f"{what} leaf shape {n.shape} != template {o.shape}")
+            return jax.device_put(jnp.asarray(n, o.dtype), o.sharding)
+
+        return jax.tree.map(put, new, tmpl)
+
+    g = state.g
+    g = g._replace(params=merge(g.params, [i[1] for i in imports], "params"),
+                   bn=merge(g.bn, [i[2] for i in imports], "bn"))
+    return state._replace(g=g)
+
+
 def import_generator_file(path: str, family: Optional[str] = None,
                           num_heads: Optional[int] = None,
                           img_shape: Optional[Tuple[int, ...]] = None,

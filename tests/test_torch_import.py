@@ -195,6 +195,90 @@ class TestImportEvalParity:
                      multipath=True, img=True, atol=1e-4)
 
 
+def _save_2dmg_small(tmp_path, name, seed):
+    torch.manual_seed(seed)
+    g = _SeqG(tnn.Sequential(tnn.Linear(100, 32), tnn.LeakyReLU(0.2),
+                             tnn.Linear(32, 2), tnn.Tanh()))
+    p = str(tmp_path / name)
+    torch.save(g.state_dict(), p)
+    return p, g
+
+
+class TestWarmStart:
+    """warm_start_generators: continue training a reference model here."""
+
+    def _cfg(self, algo, **kw):
+        from cglgan_tpu.core.config import FedGANConfig
+        base = dict(algo=algo, dataset="2dmg", num_workers=4, num_class=5,
+                    num_sample=200, iid=1, batch_size=32,
+                    num_communication=4, num_plt=2, epoch=1)
+        base.update(kw)
+        return FedGANConfig(**base)
+
+    def test_stacked_per_server(self, tmp_path):
+        """capgan stacks one G per server: one .pt per server lands in its
+        slot; D/opt/t untouched; training proceeds."""
+        from cglgan_tpu.algos.registry import build_runner
+        p0, g0 = _save_2dmg_small(tmp_path, "s0.pt", 10)
+        p1, g1 = _save_2dmg_small(tmp_path, "s1.pt", 11)
+        r = build_runner(self._cfg("acgan", num_servers=2))
+        s = r.init_state()
+        s2 = ti.warm_start_generators(s, [p0, p1])
+        w = np.asarray(s2.g.params[0]["w"])          # (S, 100, 32)
+        np.testing.assert_allclose(
+            w[0], g0.model[0].weight.detach().numpy().T, rtol=1e-6)
+        np.testing.assert_allclose(
+            w[1], g1.model[0].weight.detach().numpy().T, rtol=1e-6)
+        assert not np.allclose(w[0], w[1])
+        np.testing.assert_array_equal(
+            np.asarray(s2.d.params[0]["w"]), np.asarray(s.d.params[0]["w"]))
+        assert int(s2.t) == 0
+        s3, _ = jax.jit(r.round_fn)(s2)              # still trains
+        assert not np.allclose(np.asarray(jax.tree.leaves(s3.g.params)[0]),
+                               np.asarray(jax.tree.leaves(s2.g.params)[0]))
+
+    def test_stacked_broadcast_one(self, tmp_path):
+        from cglgan_tpu.algos.registry import build_runner
+        p0, _ = _save_2dmg_small(tmp_path, "s.pt", 12)
+        r = build_runner(self._cfg("acgan", num_servers=2))
+        s2 = ti.warm_start_generators(r.init_state(), [p0])
+        w = np.asarray(s2.g.params[0]["w"])
+        np.testing.assert_allclose(w[0], w[1])
+
+    def test_shared_generator(self, tmp_path):
+        """flgan shares ONE G (reference: the server broadcasts one
+        state_dict): a single .pt replaces it; two is an error."""
+        from cglgan_tpu.algos.registry import build_runner
+        # flgan 2DMG uses the 100-256-128-2 MLP (FLGAN/2DMG/model.py:4-20)
+        torch.manual_seed(13)
+        g = _SeqG(tnn.Sequential(tnn.Linear(100, 256), tnn.LeakyReLU(0.2),
+                                 tnn.Linear(256, 128), tnn.LeakyReLU(0.2),
+                                 tnn.Linear(128, 2), tnn.Tanh()))
+        p0 = str(tmp_path / "g.pt")
+        torch.save(g.state_dict(), p0)
+        r = build_runner(self._cfg("flgan"))
+        s2 = ti.warm_start_generators(r.init_state(), [p0])
+        np.testing.assert_allclose(
+            np.asarray(s2.g.params[0]["w"]),
+            g.model[0].weight.detach().numpy().T, rtol=1e-6)
+        with pytest.raises(ti.TorchImportError, match="single"):
+            ti.warm_start_generators(r.init_state(), [p0, p0])
+
+    def test_wrong_family_rejected(self, tmp_path):
+        from cglgan_tpu.algos.registry import build_runner
+        p0, _ = _save_2dmg_small(tmp_path, "s.pt", 14)   # 2dmg-small
+        r = build_runner(self._cfg("flgan"))             # wants 2dmg-mlp
+        with pytest.raises(ti.TorchImportError):
+            ti.warm_start_generators(r.init_state(), [p0])
+
+    def test_count_mismatch_rejected(self, tmp_path):
+        from cglgan_tpu.algos.registry import build_runner
+        p0, _ = _save_2dmg_small(tmp_path, "s.pt", 15)
+        r = build_runner(self._cfg("acgan", num_servers=4))
+        with pytest.raises(ti.TorchImportError, match="4 stacked"):
+            ti.warm_start_generators(r.init_state(), [p0, p0])
+
+
 class TestImportErrors:
     def test_discriminator_rejected(self, tmp_path):
         """A reference D state_dict (fan-in != 100) must fail loudly."""
