@@ -145,7 +145,8 @@ CACHED_TPU_RECORD = {
     "bf16_vs_baseline": 1211.25,
     "bf16_epoch5_rounds_per_sec": 1651.23,
     "bf16_epoch5_vs_baseline": 2064.0,
-    "tpu_source": "cached-round3 (axon tunnel unresponsive at bench time)",
+    "tpu_source": "cached (last live round-3 measurement; emitted because "
+                  "the axon tunnel was unresponsive at bench time)",
 }
 
 

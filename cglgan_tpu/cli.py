@@ -527,18 +527,31 @@ def cmd_import_torch(args) -> int:
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     report = {"checkpoint": args.checkpoint, **info, "params": n_params}
 
+    def _heads_to_batch(y):
+        # (heads, n, ...) -> (heads*n, ...) interleaved sample-major so any
+        # downstream truncation (grid [:100], evaluator [:n]) spans ALL
+        # heads instead of silently scoring head 0 only — the mode-coverage
+        # property of the multi-path G (mixed-gan.py:242-252) lives in the
+        # head mixture.
+        return np.swapaxes(y, 0, 1).reshape((-1,) + y.shape[2:])
+
     if args.samples:
         z = jax.random.normal(jax.random.key(args.seed), (args.n, 100))
         y, _ = model.apply(params, state, z, train=False)
         y = np.asarray(y)
         if model.multipath:   # heads onto batch, reference cat(dim=0)
-            y = y.reshape((-1,) + y.shape[2:])
+            y = _heads_to_batch(y)
+        out_path = args.samples
         if y.ndim >= 3:       # image families -> grid PNG
             from cglgan_tpu.utils.imaging import save_image_grid
-            save_image_grid(y.reshape(-1, *y.shape[-3:])[:100], args.samples)
-        else:                 # 2DMG points -> raw array
-            np.save(args.samples, y)
-        report["samples"] = args.samples
+            save_image_grid(y.reshape(-1, *y.shape[-3:])[:100], out_path)
+        else:                 # 2DMG points -> raw array (np.save appends
+            # ".npy" to suffix-less paths; normalize first so the reported
+            # path is the file that actually exists)
+            if not out_path.endswith(".npy"):
+                out_path += ".npy"
+            np.save(out_path, y)
+        report["samples"] = out_path
 
     if args.eval_dataset:
         # score the imported G with the standard workload evaluator:
@@ -562,7 +575,7 @@ def cmd_import_torch(args) -> int:
         y, _ = model.apply(params, state, z, train=False)
         y = np.asarray(y)
         if model.multipath:
-            y = y.reshape((-1,) + y.shape[2:])
+            y = _heads_to_batch(y)
         report.update(evaluator(None, None, samples=y))
 
     if args.export:

@@ -135,6 +135,19 @@ def detect_generator(sd: Dict[str, np.ndarray]) -> Dict:
         g.kind == "conv" for h in heads for g in h)
     n = len(heads)
     if has_conv:
+        # every conv generator starts with the latent projection
+        # (model/lsgan.py:7 `l1 = Linear(100, ...)`); a conv state_dict
+        # that opens with a conv (or a non-100 fan-in linear) is the conv
+        # DISCRIMINATOR — give the same hint the MLP path gives instead of
+        # a confusing downstream "expected linear, found conv" error.
+        first = trunk[0]
+        if (first.kind != "linear"
+                or first.tensors["weight"].shape[1] != 100):
+            raise TorchImportError(
+                f"conv state_dict opens with {first.kind} "
+                f"{first.prefix!r}, not the latent Linear(100, ...) — is "
+                "this a discriminator checkpoint? (the reference only "
+                "saves net_g)")
         family = "conv-multipath" if heads else "conv"
         return {"family": family, "num_heads": max(n, 1),
                 "img_shape": (1, 32, 32)}

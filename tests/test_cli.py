@@ -139,7 +139,17 @@ class TestCLI:
         # --eval-dataset scored the imported G with the workload evaluator
         assert "kl_score" in report and "mode_coverage" in report
         import numpy as np
-        assert np.load(samples).shape == (40, 2)   # heads cat onto batch
+        got = np.load(samples)
+        assert got.shape == (40, 2)   # heads cat onto batch
+        # heads are interleaved sample-major so a truncated prefix spans
+        # every head (not just head 0's outputs)
+        import jax
+        from cglgan_tpu.utils import torch_import as ti
+        model, params, state, _ = ti.import_generator_file(str(pt))
+        z = jax.random.normal(jax.random.key(0), (10, 100))  # --seed 0
+        y, _ = model.apply(params, state, z, train=False)
+        expect = np.swapaxes(np.asarray(y), 0, 1).reshape(-1, 2)
+        np.testing.assert_allclose(got, expect, rtol=1e-6)
         manifest = json.loads((tmp_path / "imported.stablehlo.json")
                               .read_text())
         assert manifest["out_shape"] == [40, 2]

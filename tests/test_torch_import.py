@@ -290,6 +290,19 @@ class TestImportErrors:
         with pytest.raises(ti.TorchImportError, match="discriminator"):
             ti.import_generator_file(pt)
 
+    def test_conv_discriminator_rejected(self, tmp_path):
+        """A conv D (model/lsgan.py:73-98: conv blocks first, no latent
+        Linear(100,...)) must get the discriminator hint, not a confusing
+        'expected linear, found conv' conversion error."""
+        td = _SeqG(tnn.Sequential(
+            tnn.Conv2d(1, 16, 3, 2, 1), tnn.LeakyReLU(0.2),
+            tnn.Conv2d(16, 32, 3, 2, 1), tnn.LeakyReLU(0.2),
+            tnn.Flatten(), tnn.Linear(32 * 8 * 8, 1)))
+        pt = str(tmp_path / "d_conv.pt")
+        torch.save(td.state_dict(), pt)
+        with pytest.raises(ti.TorchImportError, match="discriminator"):
+            ti.import_generator_file(pt)
+
     def test_family_override_mismatch_rejected(self, tmp_path):
         tg = _mk_mnist_mlp()
         pt = str(tmp_path / "g.pt")
