@@ -29,6 +29,7 @@ ALL = [("flgan", {}), ("fegan", dict(frac_workers=0.5)),
        ("mixgan", dict(num_servers=2))]
 
 
+@pytest.mark.smoke
 class TestRounds:
     @pytest.mark.parametrize("algo,kw", ALL)
     def test_round_and_training(self, algo, kw):

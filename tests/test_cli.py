@@ -155,6 +155,7 @@ class TestCLI:
         assert manifest["out_shape"] == [40, 2]
         assert manifest["imported_from"] == str(pt)
 
+    @pytest.mark.smoke
     def test_gen_specs_mirror(self):
         """cli.GEN_SPECS mirrors models.zoo.GEN_SPECS (kept separate so
         cli.py's top level stays jax-free for `tpufed doctor`)."""
@@ -227,6 +228,7 @@ class TestCLI:
         assert "dir" in report["compile_cache"]
         assert isinstance(report["native_dataplane"], bool)
 
+    @pytest.mark.smoke
     def test_bad_args(self):
         out = run_cli(["run", "nope"], timeout=60)
         assert out.returncode != 0

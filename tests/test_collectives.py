@@ -2,12 +2,15 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from cglgan_tpu.core import meshes
 from cglgan_tpu.fed import collectives as C
 from cglgan_tpu.fed.sampling import fegan_scores, init_groups
 from cglgan_tpu.fed.topology import block_assignment, server_beta
+
+pytestmark = pytest.mark.smoke
 
 
 def _tree(n=8, d=4, seed=0):

@@ -6,6 +6,7 @@ from cglgan_tpu.data.mnist import synthetic_mnist
 from cglgan_tpu.data.partition import partition
 
 
+@pytest.mark.smoke
 class TestGMM:
     def test_shapes_and_sorting(self):
         data, labels = gmm_dataset(n_class=5, samples_per_class=1000)
@@ -36,6 +37,7 @@ class TestGMM:
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
 
 
+@pytest.mark.smoke
 class TestPartition:
     def _toy(self, n=3000, c=10):
         rng = np.random.default_rng(0)

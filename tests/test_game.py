@@ -5,6 +5,8 @@ import pytest
 
 from cglgan_tpu.algos.game import game_step
 
+pytestmark = pytest.mark.smoke
+
 
 L = np.array([0.5, 1.0, 2.0], np.float32)
 BETA = np.array([0.2, 0.3, 0.5], np.float32)
