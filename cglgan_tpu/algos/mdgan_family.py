@@ -14,7 +14,10 @@ stacked D state; every per-client op is ``vmap`` over (S, k).
 
 The every-E-rounds exchanges the reference left commented are implemented
 for real (cfg.E > 0):
-* AC-GAN — clients of one server average their Ds (ACGAN/MNIST/acgan.py:240-263).
+* AC-GAN — clients of one server exchange Ds (ACGAN/MNIST/acgan.py:240-263):
+  ``gossip="mean"`` replaces each with the block average; ``gossip="delta"``
+  runs the sketch's delta-accumulating exchange (per-worker anchors carried
+  in the FedState aux slot; ``fed/collectives.py delta_share_tree``).
 * MD-GAN — global ring D-swap (MDGAN/MNIST/mdgan.py:158-164, 258-262).
 """
 from __future__ import annotations
@@ -79,7 +82,13 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
             lambda x: x.reshape((S, k) + x.shape[1:]), tuple(dn)))
         dn = NetState(*(meshes.place(t, mesh, spec_sk) for t in dn))
         gn = NetState(*(meshes.place(t, mesh, P()) for t in (gp, gbn, gopt)))
-        return meshes.commit_tree(FedState(gn, dn, None, jnp.int32(0)), mesh)
+        aux = None
+        if cfg.algo == "acgan" and cfg.E > 0 and cfg.gossip == "delta":
+            # per-worker gossip anchors, initialised to zero exactly as the
+            # reference sketch's `w[key] = 0` (ACGAN/MNIST/acgan.py:235-237);
+            # carried in the FedState aux slot so checkpoints restore them
+            aux = jax.tree.map(jnp.zeros_like, (dn.params, dn.bn))
+        return meshes.commit_tree(FedState(gn, dn, aux, jnp.int32(0)), mesh)
 
     def server_round(g_net: NetState, d_block: NetState, shard_blk, starts,
                      mask, key):
@@ -191,6 +200,27 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
                     swap = lambda t: collectives.ring_shift_tree(t, 1)
                 shared = NetState(swap(flat_d.params), swap(flat_d.bn),
                                   flat_d.opt)
+            elif cfg.gossip == "delta":
+                # strict-fidelity delta-accumulating exchange
+                # (ACGAN/MNIST/acgan.py:240-263): anchors live in the aux
+                # slot, stored (S, k, ...) like the Ds
+                flat_w = jax.tree.map(
+                    lambda x: x.reshape((S * k,) + x.shape[2:]), state.lam)
+                cur = (flat_d.params, flat_d.bn)
+                new_cur, new_anchor = collectives.delta_share_tree(
+                    cur, flat_w, k)
+                shared = NetState(new_cur[0], new_cur[1], flat_d.opt)
+                do_share = (t + 1) % cfg.E == 0
+                new_anchor = jax.tree.map(
+                    lambda x: x.reshape((S, k) + x.shape[1:]), new_anchor)
+                new_lam = jax.tree.map(
+                    lambda a, b: jnp.where(do_share, a, b),
+                    new_anchor, state.lam)
+                shared = jax.tree.map(
+                    lambda x: x.reshape((S, k) + x.shape[1:]), shared)
+                new_d = jax.tree.map(
+                    lambda a, b: jnp.where(do_share, a, b), shared, new_d)
+                return FedState(new_g, new_d, new_lam, t + 1), metrics
             else:
                 shared = NetState(
                     collectives.neighbor_share_tree(flat_d.params, k),
@@ -202,7 +232,7 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
             new_d = jax.tree.map(
                 lambda a, b: jnp.where(do_share, a, b), shared, new_d)
 
-        return FedState(new_g, new_d, None, t + 1), metrics
+        return FedState(new_g, new_d, state.lam, t + 1), metrics
 
     def gen(state: FedState, z):
         """Serving contract: eval-mode samples from caller latents ``z``

@@ -63,6 +63,11 @@ def _add_run_args(p: argparse.ArgumentParser, with_algo: bool = True) -> None:
                         "see PERF.md)")
     p.add_argument("--seed", type=int, default=20211212)
     p.add_argument("--weighting", default=None, choices=WEIGHTINGS)
+    p.add_argument("--gossip", default="mean", choices=("mean", "delta"),
+                   help="AC-GAN every-E-rounds exchange: 'mean' = block "
+                        "average of client Ds; 'delta' = the reference "
+                        "sketch's delta-accumulating exchange "
+                        "(ACGAN/MNIST/acgan.py:240-263)")
     p.add_argument("--d-swap", default="ring", choices=("ring", "shuffle"),
                    help="MD-GAN E-round D-swap: deterministic ring permute "
                         "or the reference's seeded random shuffle")
@@ -168,6 +173,7 @@ def cfg_from_args(args) -> FedGANConfig:
         dropout_rate=args.dropout_rate, dtype=args.dtype,
         model_shards=getattr(args, "model_shards", 1),
         d_swap=getattr(args, "d_swap", "ring"),
+        gossip=getattr(args, "gossip", "mean"),
         pallas_dstep={"auto": None, "on": True, "off": False}[
             getattr(args, "pallas_dstep", "auto")],
         pallas_sweep={"auto": None, "on": True, "off": False}[

@@ -93,6 +93,13 @@ class FedGANConfig:
     # commented semantics, MDGAN/MNIST/mdgan.py:158-164; multi-chip it
     # lowers to an all-gather since the permutation is data-dependent).
     d_swap: str = "ring"
+    # AC-GAN every-E-rounds gossip flavour: "mean" (clients of one server
+    # replace their Ds with the block mean) or "delta" (the strict-fidelity
+    # delta-accumulating exchange of the reference's commented sketch,
+    # ACGAN/MNIST/acgan.py:240-263 — per-member anchors, block-averaged
+    # deltas; coincides with "mean" at the first exchange event, see
+    # fed/collectives.py delta_share_tree).
+    gossip: str = "mean"
     conv: bool = False              # use the conv LSGAN G/D pair (model/lsgan.py)
 
     # --- fault simulation (TPU-build extension; SURVEY.md §5 suggests
@@ -161,6 +168,8 @@ class FedGANConfig:
                 "silently leave the model axis idle")
         if self.d_swap not in ("ring", "shuffle"):
             raise ValueError("d_swap must be 'ring' or 'shuffle'")
+        if self.gossip not in ("mean", "delta"):
+            raise ValueError("gossip must be 'mean' or 'delta'")
 
     # ------------------------------------------------------------------
     @property

@@ -95,6 +95,31 @@ def neighbor_share_tree(stacked, group_size: int):
     return jax.tree.map(share, stacked)
 
 
+def delta_share_tree(stacked, anchor, group_size: int):
+    """Delta-accumulating every-E-rounds gossip: the strict-fidelity mode of
+    AC-GAN's commented exchange (ACGAN/MNIST/acgan.py:240-263).
+
+    Each member keeps an anchor ``w`` (initialised to zero, acgan.py:235-237)
+    and per event: ``g_i = p_i - w_i`` is broadcast to every client of the
+    member's server block, the received deltas are averaged over the block
+    (``s = mean_k(g)``, the sketch's ``s[key] += gk[key]/k``), the new
+    parameters are ``w_i + s`` and the new anchor is the pre-exchange ``p_i``
+    (the sketch's ``w += g`` ordering).  This is the only non-degenerate
+    completion of the commented code — the literal text deadlocks (k gets
+    for k-1 puts), clobbers its accumulator with the loop variable ``s``,
+    and its final ``p += s - w`` reduces to ``p = s`` because ``w == p`` at
+    that point.  From the zero anchor the first exchange equals the block
+    parameter mean (``neighbor_share_tree``); later exchanges differ because
+    anchors are per-member.
+
+    Returns ``(new_stacked, new_anchor)``.
+    """
+    deltas = jax.tree.map(lambda p, w: p - w, stacked, anchor)
+    mean_delta = neighbor_share_tree(deltas, group_size)
+    new_p = jax.tree.map(lambda w, s: w + s, anchor, mean_delta)
+    return new_p, stacked
+
+
 def masked_weighted_avg_tree(stacked, weights, mask):
     """Weighted average over the leading axis counting only ``mask``-selected
     members (partial participation / FeGAN group rounds).  ``weights`` are

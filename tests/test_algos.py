@@ -69,6 +69,52 @@ class TestRounds:
             np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+class TestAcganGossip:
+    """--gossip delta vs mean (ACGAN/MNIST/acgan.py:240-263 sketch)."""
+
+    def _run(self, gossip, rounds, **kw):
+        r = build_runner(tiny_cfg("acgan", num_servers=1, E=2,
+                                  gossip=gossip, **kw))
+        s = r.init_state()
+        f = jax.jit(r.round_fn)
+        for _ in range(rounds):
+            s, _ = f(s)
+        return s
+
+    def test_modes_coincide_at_first_exchange(self):
+        """Single server, E covering all clients: from the zero anchor the
+        first delta exchange IS the block mean, so the two modes agree
+        exactly through the first exchange event (round E)."""
+        sm = self._run("mean", rounds=2)
+        sd = self._run("delta", rounds=2)
+        for a, b in zip(jax.tree.leaves(sm.d.params),
+                        jax.tree.leaves(sd.d.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_modes_diverge_after_second_exchange(self):
+        """From the second exchange on, per-member anchors make the delta
+        exchange differ from the plain block mean."""
+        sm = self._run("mean", rounds=4)
+        sd = self._run("delta", rounds=4)
+        leaves_m = jax.tree.leaves(sm.d.params)
+        leaves_d = jax.tree.leaves(sd.d.params)
+        assert any(not np.allclose(np.asarray(a), np.asarray(b))
+                   for a, b in zip(leaves_m, leaves_d))
+
+    def test_anchor_checkpoints_through_aux_slot(self):
+        """Anchors ride FedState.lam: present for delta, None for mean."""
+        sd = self._run("delta", rounds=1)
+        assert sd.lam is not None
+        anchors = jax.tree.leaves(sd.lam)
+        assert all(np.all(np.asarray(a) == 0) for a in anchors)  # pre-E
+        sd = self._run("delta", rounds=2)   # exchange fired at round 2
+        assert any(np.any(np.asarray(a) != 0)
+                   for a in jax.tree.leaves(sd.lam))
+        sm = self._run("mean", rounds=1)
+        assert sm.lam is None
+
+
 class TestMultipathRouting:
     def test_heads_route_to_clients(self):
         """Each client's D sees only its head's fakes: per-head updates differ."""

@@ -57,6 +57,34 @@ class TestCollectives:
         np.testing.assert_allclose(np.asarray(s["w"])[5], w[4:].mean(0),
                                    rtol=1e-5)
 
+    def test_delta_share_first_exchange_is_block_mean(self):
+        """From the zero anchor (ACGAN/MNIST/acgan.py:235-237) the first
+        delta exchange coincides with the plain block parameter mean."""
+        t = _tree()
+        anchor = jax.tree.map(jnp.zeros_like, t)
+        new_p, new_anchor = C.delta_share_tree(t, anchor, 4)
+        mean = C.neighbor_share_tree(t, 4)
+        np.testing.assert_allclose(np.asarray(new_p["w"]),
+                                   np.asarray(mean["w"]), rtol=1e-5)
+        # the new anchor is the pre-exchange params (the sketch's `w += g`)
+        np.testing.assert_allclose(np.asarray(new_anchor["b"]),
+                                   np.asarray(t["b"]))
+
+    def test_delta_share_accumulation_hand_math(self):
+        """Second exchange: p_i <- w_i + mean_k(p_j - w_j) with per-member
+        anchors — hand-computed on scalars."""
+        p1 = {"x": jnp.asarray([1.0, 3.0])}           # group of 2
+        w0 = jax.tree.map(jnp.zeros_like, p1)
+        p1_new, w1 = C.delta_share_tree(p1, w0, 2)
+        np.testing.assert_allclose(np.asarray(p1_new["x"]), [2.0, 2.0])
+        np.testing.assert_allclose(np.asarray(w1["x"]), [1.0, 3.0])
+        # local training moves both members by +2 / +6 from p1_new
+        p2 = {"x": jnp.asarray([4.0, 8.0])}
+        p2_new, w2 = C.delta_share_tree(p2, w1, 2)
+        # deltas vs anchors: 4-1=3, 8-3=5; mean 4; p_i <- w_i + 4
+        np.testing.assert_allclose(np.asarray(p2_new["x"]), [5.0, 7.0])
+        np.testing.assert_allclose(np.asarray(w2["x"]), [4.0, 8.0])
+
     def test_select_update(self):
         old, new = _tree(seed=1), _tree(seed=2)
         mask = np.asarray([1, 0, 1, 0, 1, 0, 1, 0], np.float32)
