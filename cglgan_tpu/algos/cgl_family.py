@@ -322,6 +322,25 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
         outs = jax.vmap(one)(state.g.params, state.g.bn, zs)
         return outs.reshape((S * per,) + outs.shape[2:])
 
+    def gen_client(state: FedState, z, client: int):
+        """Client ``client``'s personalized generator: eval-mode samples
+        from caller latents ``z`` (n, zdim), any n.  Reference routing:
+        the multi-path G's output chunk i belongs to client i of the
+        server's block (mixed-gan.py:242-252, CGLGAN/MNIST/main.py:247-261)
+        — so client c is served by head ``c % k`` of server ``c // k``'s G;
+        the single-path CAP-GAN serves its server's G.  ``client`` is
+        static (baked into the jit/export)."""
+        if not 0 <= client < cfg.num_workers:
+            raise ValueError(f"client {client} out of range "
+                             f"[0, {cfg.num_workers})")
+        s_idx, head = client // k, client % k
+        gp = jax.tree.map(lambda x: x[s_idx], state.g.params)
+        gbn = jax.tree.map(lambda x: x[s_idx], state.g.bn)
+        out, _ = g_model.apply(gp, gbn, z, train=False)
+        if multipath:
+            out = out[head]            # (heads, n, ...) -> client's head
+        return out
+
     @partial(jax.jit, static_argnames=("n",))
     def sample(state: FedState, n: int):
         """Painter semantics: per server, G(fixed_z) in eval mode."""
@@ -332,4 +351,5 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
         return gen(state, z.reshape((S * per, zdim)))
 
     return runner_mod.Runner(cfg, part, init_state, round_fn, sample,
-                             gen=gen, gen_batch_multiple=S)
+                             gen=gen, gen_batch_multiple=S,
+                             gen_client=gen_client)

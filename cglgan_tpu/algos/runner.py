@@ -33,6 +33,12 @@ class Runner(NamedTuple):
     # serving batch constraint: n must be a multiple of this (the
     # per-server quota families set it to num_servers; 1 = any batch)
     gen_batch_multiple: int = 1
+    # (state, z[n, latent_dim], client:int static) -> samples[n]: client
+    # c's PERSONALIZED generator — the multi-path G's whole point is
+    # per-client heads (mixed-gan.py:242-252 routes head i to client i);
+    # CGL-family only (head c%k of server c//k's G; the server's G for the
+    # single-path CAP-GAN).  None for the non-hierarchical families.
+    gen_client: Optional[Callable[[Any, jax.Array, int], jax.Array]] = None
 
 
 def scan_rounds(round_fn, n: int, unroll: int = 1):

@@ -496,14 +496,19 @@ def cmd_export(args) -> int:
     state = restore_checkpoint(args.checkpoint, runner.init_state())
     platforms = ([p.strip() for p in args.platforms.split(",") if p.strip()]
                  if args.platforms else None)
-    exported = export_generator(runner, state,
-                                args.n if args.n > 0 else None,
-                                platforms=platforms)
-    out = args.out or os.path.join(run_dir,
-                                   f"generator_{int(state.t)}.stablehlo")
-    manifest = save_generator(
-        exported, out,
-        {"algo": cfg.algo, "dataset": cfg.dataset, "round": int(state.t)})
+    n = args.n if args.n > 0 else None
+    extra = {"algo": cfg.algo, "dataset": cfg.dataset, "round": int(state.t)}
+    if args.client is not None:
+        from cglgan_tpu.utils.export import export_client_generator
+        exported = export_client_generator(runner, state, args.client,
+                                           n, platforms=platforms)
+        default_name = f"generator_{int(state.t)}_client{args.client}.stablehlo"
+        extra["client"] = args.client
+    else:
+        exported = export_generator(runner, state, n, platforms=platforms)
+        default_name = f"generator_{int(state.t)}.stablehlo"
+    out = args.out or os.path.join(run_dir, default_name)
+    manifest = save_generator(exported, out, extra)
     print(json.dumps({"out": out, **manifest}))
     return 0
 
@@ -728,6 +733,11 @@ def main(argv=None) -> int:
     pexport.add_argument("--out", default=None,
                          help="output path (default "
                               "<run dir>/generator_<round>.stablehlo)")
+    pexport.add_argument("--client", type=int, default=None, metavar="C",
+                         help="export client C's PERSONALIZED generator "
+                              "(CGL family: head C%%k of server C//k's G, "
+                              "mixed-gan.py:242-252 routing) instead of "
+                              "the painter blend; any batch size")
     pexport.add_argument("--platform", default=None)
     pexport.add_argument("--platforms", default=None,
                          help="comma list of lowering targets, e.g. "

@@ -63,6 +63,34 @@ def export_generator(runner, state, n: Optional[int] = None,
         serve, platforms=list(platforms) if platforms else None)(spec)
 
 
+def export_client_generator(runner, state, client: int,
+                            n: Optional[int] = None,
+                            platforms: Optional[Sequence[str]] = None):
+    """Export client ``client``'s PERSONALIZED generator
+    (``runner.gen_client``): head ``c % k`` of server ``c // k``'s G for
+    the multi-path families (mixed-gan.py:242-252 routing), the server's
+    G for single-path CAP-GAN.  Unlike the painter blend of
+    :func:`export_generator`, the batch has no per-server multiple
+    constraint — the artifact is one client's own generator,
+    ``z[n, latent] -> samples[n]``.  ``n=None`` exports batch-polymorphic.
+    """
+    if runner.gen_client is None:
+        raise ValueError(
+            f"{runner.cfg.algo} has no per-client personalized generator "
+            "(gen_client is CGL-family only)")
+    if not 0 <= client < runner.cfg.num_workers:
+        raise ValueError(f"client {client} out of range "
+                         f"[0, {runner.cfg.num_workers})")
+    if n is None:
+        (batch,) = jax.export.symbolic_shape("(b,)")
+    else:
+        batch = n
+    serve = jax.jit(lambda z: runner.gen_client(state, z, client))
+    spec = jax.ShapeDtypeStruct((batch, runner.cfg.latent_dim), jnp.float32)
+    return jax.export.export(
+        serve, platforms=list(platforms) if platforms else None)(spec)
+
+
 def export_imported(model, params, state, n: Optional[int] = None,
                     latent_dim: int = 100,
                     platforms: Optional[Sequence[str]] = None):
