@@ -134,6 +134,12 @@ class FedGANConfig:
     # the Lambda game stay float32).  See PERF.md for the 2DMG precision
     # caveat; default float32 matches the reference's torch numerics.
     dtype: str = "float32"
+    # bfloat16 + 2DMG is refused at construction (measured fidelity loss,
+    # PERF.md "bfloat16 mode": Distribution Score 0.03 vs 0.91 at 8k
+    # rounds — bf16's ~3 significant digits cannot place outputs inside
+    # the task's 0.01-std clusters).  Set True to run it anyway
+    # (numerics experiments, kernel tests).
+    force_dtype: bool = False
     scan_rounds: int = 0            # rounds fused per lax.scan chunk; 0 = auto
     data_dir: Optional[str] = None  # IDX files for real MNIST, if available
 
@@ -170,6 +176,15 @@ class FedGANConfig:
             raise ValueError("d_swap must be 'ring' or 'shuffle'")
         if self.gossip not in ("mean", "delta"):
             raise ValueError("gossip must be 'mean' or 'delta'")
+        if (self.dtype == "bfloat16" and self.dataset == "2dmg"
+                and not self.force_dtype):
+            raise ValueError(
+                "dtype='bfloat16' degrades 2DMG fidelity: measured "
+                "Distribution Score 0.03 vs 0.91 (float32) at 8k rounds "
+                "(PERF.md, 'bfloat16 mode' — ~3 significant digits of "
+                "weight precision cannot hit the 0.01-std clusters).  Use "
+                "float32 for 2DMG, or set force_dtype=True / --force-dtype "
+                "to run it anyway")
 
     # ------------------------------------------------------------------
     @property

@@ -226,7 +226,8 @@ class TestKernelIntegration:
         XLA bf16 path is faster on-chip, so auto does not engage — see
         ``eligible``).  The kernel keeps f32 across the E local steps where
         the XLA bf16 path rounds per step, so tolerance is bf16-resolution."""
-        self._compare("capgan", dtype="bfloat16", _force=True,
+        self._compare("capgan", dtype="bfloat16", force_dtype=True,
+                      _force=True,
                       _rtol=5e-2, _atol=5e-3, _mtol=5e-2)
 
     def test_bf16_auto_does_not_engage(self):
@@ -235,7 +236,7 @@ class TestKernelIntegration:
         from cglgan_tpu.ops.pallas.fused_dstep import eligible
         cfg = FedGANConfig(algo="capgan", dataset="2dmg", num_workers=4,
                            num_class=4, num_sample=64, batch_size=16,
-                           epoch=2, dtype="bfloat16")
+                           epoch=2, dtype="bfloat16", force_dtype=True)
         assert not eligible(cfg, None)
         assert eligible(cfg.replace(dtype="float32"), None)
 
