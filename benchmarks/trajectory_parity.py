@@ -830,6 +830,111 @@ class TorchMDGANTwin:
             return self.G(self.torch.from_numpy(zs[0].copy())).numpy()
 
 
+class TorchMDGANConvTwin:
+    """MD-GAN with the conv LSGAN pair (model/lsgan.py:3-98) on the image
+    workload: certifies the conv family's MULTI-ROUND numerics (BN(eps 0.8)
+    batch stats + running-stat updates on both G and D, Dropout2d channel
+    masks replicated from the jax draw, raw-logit BCE) to the same standard
+    as the MLP trajectory twins.  The conv D has BatchNorm, so the G-loss
+    forward must NOT advance D running stats (the jitted g_obj discards
+    them) — buffers are snapshotted and restored around it."""
+
+    def __init__(self, cfg, part, jax_state):
+        torch = self.torch = _torch()
+        import torch.nn as tnn
+
+        from benchmarks.torch_conv_twins import TorchConvD, TorchConvG
+        from cglgan_tpu.core import prng
+
+        self.cfg = cfg
+        self.W = cfg.num_workers
+        self.B = cfg.batch_size
+        self.shards = np.asarray(part.data)
+        self.bcel = tnn.BCEWithLogitsLoss()
+        self.root = prng.root_key(cfg.seed)
+
+        take0 = lambda tree: {k: np.asarray(v)[0] if not isinstance(v, dict)
+                              else {kk: np.asarray(vv)[0]
+                                    for kk, vv in v.items()}
+                              for k, v in tree.items()}
+        self.G = TorchConvG()
+        self.G.load_jax(take0(jax_state.g.params), take0(jax_state.g.bn))
+        self.optG = torch.optim.Adam(self.G.parameters(), lr=cfg.lr_g,
+                                     betas=(cfg.b1, cfg.b2))
+        self.D, self.optD = [], []
+        for i in range(self.W):
+            takei = lambda tree: {
+                k: np.asarray(v)[0, i] if not isinstance(v, dict)
+                else {kk: np.asarray(vv)[0, i] for kk, vv in v.items()}
+                for k, v in tree.items()}
+            d = TorchConvD()
+            d.load_jax(takei(jax_state.d.params), takei(jax_state.d.bn))
+            self.D.append(d)
+            self.optD.append(torch.optim.Adam(
+                d.parameters(), lr=cfg.lr_d, betas=(cfg.b1, cfg.b2)))
+
+    def _real(self, i, st):
+        x = self.shards[i, st:st + self.B].astype(np.float32) / 255.0
+        x = (x - 0.5) / 0.5
+        side = int(round(x.shape[1] ** 0.5))
+        return self.torch.from_numpy(x.reshape(self.B, 1, side, side))
+
+    def round(self, t, starts, z_d, z_g):
+        import jax
+
+        from benchmarks.torch_conv_twins import dropout_masks
+        from cglgan_tpu.core import prng
+
+        torch, cfg = self.torch, self.cfg
+        # replicate the round's dropout key fan-out
+        # (mdgan_family.round_fn / server_round)
+        key = prng.for_round(prng.for_role(self.root, prng.ROLE_LOCAL), t)
+        (key0,) = jax.random.split(key, 1)
+        _k_zd, _k_zg, k_d, k_drop = jax.random.split(key0, 4)
+        d_keys = jax.random.split(k_d, self.W)
+        drop_keys = jax.random.split(k_drop, self.W)
+
+        ones = torch.ones(self.B, 1)
+        zeros = torch.zeros(self.B, 1)
+        with torch.no_grad():       # Xd: train-mode fwd advances G BN stats
+            xd = self.G(torch.from_numpy(z_d[0]))
+        st = int(starts[0])         # epoch == 1 (d_epoch_steps single path)
+        for i in range(self.W):
+            d, optd = self.D[i], self.optD[i]
+            r1, r2 = jax.random.split(d_keys[i])   # common.d_step_fn
+            loss = (self.bcel(d(self._real(i, st),
+                                dropout_masks(r1, self.B)), ones)
+                    + self.bcel(d(xd, dropout_masks(r2, self.B)), zeros))
+            optd.zero_grad()
+            loss.backward()
+            optd.step()
+        xg = self.G(torch.from_numpy(z_g[0]))
+        # the jitted g_obj discards the D BN state of this forward — restore
+        # the buffers afterwards (after backward: torch's train-mode BN op
+        # mutates them in-place and autograd version-checks them)
+        snaps = [{k: v.clone() for k, v in d.state_dict().items()
+                  if "running_" in k or "num_batches" in k}
+                 for d in self.D]
+        graph = [self.bcel(self.D[i](xg, dropout_masks(drop_keys[i],
+                                                       self.B)), ones)
+                 for i in range(self.W)]
+        g_loss = torch.stack(graph).mean()
+        self.optG.zero_grad()
+        g_loss.backward()
+        self.optG.step()
+        with torch.no_grad():
+            for d, snap in zip(self.D, snaps):
+                d.load_state_dict(snap, strict=False)
+
+    def sample(self, zs):
+        torch = self.torch
+        with torch.no_grad():
+            self.G.eval()
+            out = self.G(torch.from_numpy(zs[0].copy())).numpy()
+            self.G.train()
+        return out
+
+
 class TorchFLGANTwin:
     """The reference FL-GAN 2DMG protocol in eager torch
     (FLGAN/2DMG/flgan.py:107-258): broadcast -> local D/G sweeps with
@@ -1048,7 +1153,8 @@ def run_compare(algo: str, rounds: int, tick: int, shrink_to: int = None,
         streams = cgl_round_streams(root, cfg, max_len)
     elif algo == "mdgan":
         # same per-round draw sequence as the CGL family (S=1)
-        twin = TorchMDGANTwin(cfg, part, state)
+        twin = (TorchMDGANConvTwin if cfg.conv
+                else TorchMDGANTwin)(cfg, part, state)
         streams = cgl_round_streams(root, cfg, max_len)
     elif algo == "acgan":
         # multi-server variant of the same draw sequence

@@ -34,108 +34,17 @@ def _t():
     return torch
 
 
-def _np(x):
-    return np.array(x, dtype=np.float32)   # copy: torch needs writable
+from benchmarks.torch_conv_twins import (TorchConvD,      # noqa: E402
+                                          TorchConvG, _np, copy_bn,
+                                          copy_conv, copy_linear,
+                                          dropout_masks)
 
-
-def _copy_conv(m, p):
-    with torch.no_grad():
-        m.weight.copy_(torch.from_numpy(_np(p["w"])))        # OIHW == OIHW
-        m.bias.copy_(torch.from_numpy(_np(p["b"])))
-
-
-def _copy_linear(m, p):
-    with torch.no_grad():
-        m.weight.copy_(torch.from_numpy(_np(p["w"]).T.copy()))
-        m.bias.copy_(torch.from_numpy(_np(p["b"])))
-
-
-def _copy_bn(m, p, s):
-    with torch.no_grad():
-        m.weight.copy_(torch.from_numpy(_np(p["scale"])))
-        m.bias.copy_(torch.from_numpy(_np(p["bias"])))
-        m.running_mean.copy_(torch.from_numpy(_np(s["mean"])))
-        m.running_var.copy_(torch.from_numpy(_np(s["var"])))
-
-
-class TorchConvG(torch.nn.Module):
-    """lsgan.Generator twin: Linear 100->128*8*8, 2x(Upsample, Conv3x3,
-    BN(eps0.8), LReLU), Conv3x3 -> Tanh (lsgan.py:3-27)."""
-
-    def __init__(self):
-        super().__init__()
-        nn_ = torch.nn
-        self.l1 = nn_.Linear(100, 128 * 8 * 8)
-        self.c1 = nn_.Conv2d(128, 128, 3, 1, 1)
-        self.bn1 = nn_.BatchNorm2d(128, 0.8)
-        self.c2 = nn_.Conv2d(128, 64, 3, 1, 1)
-        self.bn2 = nn_.BatchNorm2d(64, 0.8)
-        self.c3 = nn_.Conv2d(64, 1, 3, 1, 1)
-        self.up = nn_.Upsample(scale_factor=2)
-        self.act = nn_.LeakyReLU(0.2)
-
-    def forward(self, z):
-        x = self.l1(z).view(z.shape[0], 128, 8, 8)
-        x = self.act(self.bn1(self.c1(self.up(x))))
-        x = self.act(self.bn2(self.c2(self.up(x))))
-        return torch.tanh(self.c3(x))
-
-    def load_jax(self, p, s):
-        _copy_linear(self.l1, p["l1"])
-        for name in ("c1", "c2", "c3"):
-            _copy_conv(getattr(self, name), p[name])
-        _copy_bn(self.bn1, p["bn1"], s["bn1"])
-        _copy_bn(self.bn2, p["bn2"], s["bn2"])
-
-
-class TorchConvD(torch.nn.Module):
-    """lsgan.Discriminator twin: 4 blocks [Conv3x3 s2, LReLU, Dropout2d(.25),
-    (BN eps0.8 for blocks 2-4)] + Linear 128*2*2 -> 1 raw logit
-    (lsgan.py:73-98).  Dropout is applied via externally supplied channel
-    keep-masks so numerics can be compared 1:1 with the jax draw."""
-
-    def __init__(self):
-        super().__init__()
-        nn_ = torch.nn
-        self.c1 = nn_.Conv2d(1, 16, 3, 2, 1)
-        self.c2 = nn_.Conv2d(16, 32, 3, 2, 1)
-        self.c3 = nn_.Conv2d(32, 64, 3, 2, 1)
-        self.c4 = nn_.Conv2d(64, 128, 3, 2, 1)
-        self.bn2 = nn_.BatchNorm2d(32, 0.8)
-        self.bn3 = nn_.BatchNorm2d(64, 0.8)
-        self.bn4 = nn_.BatchNorm2d(128, 0.8)
-        self.adv = nn_.Linear(128 * 2 * 2, 1)
-        self.act = torch.nn.LeakyReLU(0.2)
-
-    def forward(self, x, masks=None):
-        def drop(h, i):
-            if masks is None:
-                return h
-            return h * masks[i] / 0.75
-        x = drop(self.act(self.c1(x)), 0)
-        # reference block order: conv -> lrelu -> dropout -> bn
-        x = self.bn2(drop(self.act(self.c2(x)), 1))
-        x = self.bn3(drop(self.act(self.c3(x)), 2))
-        x = self.bn4(drop(self.act(self.c4(x)), 3))
-        return self.adv(x.reshape(x.shape[0], -1))
-
-    def load_jax(self, p, s):
-        for name in ("c1", "c2", "c3", "c4"):
-            _copy_conv(getattr(self, name), p[name])
-        for i in (2, 3, 4):
-            _copy_bn(getattr(self, f"bn{i}"), p[f"bn{i}"], s[f"bn{i}"])
-        _copy_linear(self.adv, p["adv"])
-
-
-def _dropout_masks(rng, b):
-    """The exact channel keep-masks _conv_d_apply draws (zoo.py:220-238):
-    rngs = split(rng, 4); block1 uses rngs[0], block i in (2,3,4) uses
-    rngs[i-1]."""
-    rngs = jax.random.split(rng, 4)
-    chans = (16, 32, 64, 128)
-    return [torch.from_numpy(np.asarray(jax.random.bernoulli(
-        k, 0.75, (b, c, 1, 1)), dtype=np.float32))
-        for k, c in zip(rngs, chans)]
+# local aliases: the module grew out of this test file; the twins now live
+# in benchmarks/torch_conv_twins.py so the trajectory twin can share them
+_copy_conv = copy_conv
+_copy_linear = copy_linear
+_copy_bn = copy_bn
+_dropout_masks = dropout_masks
 
 
 @pytest.fixture(scope="module")

@@ -93,6 +93,20 @@ class TestTrajectoryParity:
         for r in rows:
             assert r["samples_rmse"] < 5e-3, r
 
+    def test_mdgan_conv_12_rounds(self):
+        """Conv LSGAN family multi-round certification (model/lsgan.py:3-98
+        via MD-GAN): BN(eps 0.8) batch stats + running-stat updates on G
+        AND D, Dropout2d channel masks replicated from the jax draw,
+        raw-logit BCE.  Closes the conv family's trajectory gap to the MLP
+        standard (one-step parity: test_torch_conv_parity.py).  Measured
+        rmse: 2.7e-6 @ r4 -> 2.2e-4 @ r12 (BN feedback error growth)."""
+        rows = run_compare("mdgan", 12, 4, num_workers=2, conv=True,
+                           dataset="synthetic-mnist", num_class=10,
+                           num_sample=32, batch_size=16, shrink_to=64)
+        assert len(rows) == 3
+        for r in rows:
+            assert r["samples_rmse"] < 2e-3, r
+
     def test_fegan_150_rounds(self):
         """Covers the group schedule, exp(sk) weights and partial
         participation (only sampled members advance)."""
