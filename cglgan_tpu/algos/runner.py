@@ -10,6 +10,7 @@ dispatch per tick instead of thousands of host round-trips per second.
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Any, Callable, Dict, List, NamedTuple, Optional
 
 import jax
@@ -41,15 +42,22 @@ class Runner(NamedTuple):
     gen_client: Optional[Callable[[Any, jax.Array, int], jax.Array]] = None
 
 
-def scan_rounds(round_fn, n: int, unroll: int = 1):
+def scan_rounds(round_fn, n: int, unroll: int = 1, donate: bool = False):
     """Fuse ``n`` rounds into one compiled scan; metrics are averaged on
     device so only scalars cross back to the host.  ``unroll`` is exposed
-    for benchmarking only — measured slower at every k>1 (PERF.md)."""
+    for benchmarking only — measured slower at every k>1 (PERF.md).
+
+    ``donate``: donate the carry's input buffers to the output (the chunk
+    runner rebinds ``state = run(state)``, so the input is dead at the call
+    site).  The caller's input state is INVALID afterwards — callers that
+    keep the pre-chunk state must copy it first.  Matters on the GSPMD
+    mesh path, where the carry alias removes a full state copy per
+    dispatch (PERF.md round-4 mesh entry); a no-op on CPU."""
     def body(state, _):
         state, m = round_fn(state)
         return state, m
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def run(state):
         state, ms = jax.lax.scan(body, state, None, length=n, unroll=unroll)
         return state, jax.tree.map(lambda x: jnp.mean(x, axis=0), ms)
