@@ -156,11 +156,11 @@ CACHED_TPU_RECORD = {
     "bf16_vs_baseline": 1211.25,
     "bf16_epoch5_rounds_per_sec": 1651.23,
     "bf16_epoch5_vs_baseline": 2064.0,
-    # round-3 PERF.md mesh smoke: 1-device mesh at chunk=1000 measured
-    # 0.24x unsharded for capgan MNIST; no chunk=500 record exists yet —
-    # refreshed from the first live round-4 bench run
-    "mesh1_rounds_per_sec": 860.0,
-    "mesh1_vs_unsharded": 0.24,
+    # round-4 mesh_donation_probe at the pinned chunk=500 (PERF.md
+    # round-4 entry): the gap to unsharded is a fixed ~190 ms/dispatch
+    # tunnel transport cost, not a program slowdown
+    "mesh1_rounds_per_sec": 1512.7,
+    "mesh1_vs_unsharded": 0.428,
     "chunk": 500,
     "tpu_source": "cached (last live round-3 measurement; emitted because "
                   "the axon tunnel was unresponsive at bench time)",

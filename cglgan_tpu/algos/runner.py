@@ -50,9 +50,11 @@ def scan_rounds(round_fn, n: int, unroll: int = 1, donate: bool = False):
     ``donate``: donate the carry's input buffers to the output (the chunk
     runner rebinds ``state = run(state)``, so the input is dead at the call
     site).  The caller's input state is INVALID afterwards — callers that
-    keep the pre-chunk state must copy it first.  Matters on the GSPMD
-    mesh path, where the carry alias removes a full state copy per
-    dispatch (PERF.md round-4 mesh entry); a no-op on CPU."""
+    keep the pre-chunk state must copy it first.  Measured SLOWER on both
+    the unsharded and the GSPMD mesh path (0.86x / 0.88x — PERF.md round-4
+    mesh entry; XLA's non-aliased schedule wins and donation does not
+    touch the tunnel transfer), so it stays default-off and exists for
+    benchmarking, like ``unroll``."""
     def body(state, _):
         state, m = round_fn(state)
         return state, m
