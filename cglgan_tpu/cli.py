@@ -432,6 +432,92 @@ def _write_summary_csv(path: str, rows) -> None:
         w.writerows(rows)
 
 
+# Categorical series palette, fixed slot order assigned by run position —
+# never cycled, never re-sorted (the ordering is the colorblind-safety
+# mechanism: the set validates at worst adjacent CVD dE 9.1 / normal-vision
+# dE 19.6 on a light surface).  Runs beyond 8 series must facet, not reuse
+# hues; numeric values always remain available as the table view
+# (`tpufed compare`).
+_SERIES_PALETTE = ("#2a78d6", "#eb6834", "#1baf7a", "#eda100",
+                   "#e87ba4", "#008300", "#4a3aa7", "#e34948")
+
+
+def cmd_plot(args) -> int:
+    """Render archived runs' metric trajectories into one comparison
+    figure — the cross-run view of ``compare``, as curves (one line per
+    run, one panel per metric).  The reference's painter only ever plots a
+    single run's state (e.g. FLGAN/MNIST/flgan.py:62-104); cross-algorithm
+    comparison figures were assembled by hand from the .xlsx files.
+
+        tpufed plot results/runs/mnist-iid2-* --out results/plots/iid2.png
+    """
+    import json
+
+    import matplotlib
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    runs = []
+    for d in args.run_dirs:
+        met_p = os.path.join(d, "metrics.jsonl")
+        if not os.path.isfile(met_p):
+            print(f"[tpufed] skipping {d}: no metrics.jsonl")
+            continue
+        with open(met_p) as f:
+            rows = [json.loads(line) for line in f if line.strip()]
+        if not rows:
+            print(f"[tpufed] skipping {d}: empty metrics.jsonl")
+            continue
+        runs.append((os.path.basename(os.path.normpath(d)), rows))
+    if not runs:
+        raise SystemExit("[tpufed] no usable run dirs")
+    if len(runs) > len(_SERIES_PALETTE):
+        raise SystemExit(
+            f"[tpufed] {len(runs)} runs exceed the {len(_SERIES_PALETTE)} "
+            "validated series slots — facet into several plots instead")
+
+    if args.metrics:
+        metrics = [m.strip() for m in args.metrics.split(",") if m.strip()]
+    else:
+        last = runs[0][1][-1]
+        metrics = (["kl_score", "mode_coverage"] if "kl_score" in last
+                   else ["fid", "inception_score"])
+    fig, axes = plt.subplots(1, len(metrics),
+                             figsize=(6.4 * len(metrics), 4.6),
+                             squeeze=False)
+    plotted = 0
+    for ax, metric in zip(axes[0], metrics):
+        for slot, (label, rows) in enumerate(runs):
+            xs = [r["round"] for r in rows if metric in r]
+            ys = [r[metric] for r in rows if metric in r]
+            if not xs:
+                continue
+            ax.plot(xs, ys, color=_SERIES_PALETTE[slot], linewidth=2,
+                    label=label)
+            plotted += 1
+        if args.logy and metric in ("fid", "kl_score"):
+            ax.set_yscale("log")
+        ax.set_xlabel("round")
+        ax.set_ylabel(metric)
+        ax.grid(True, alpha=0.25, linewidth=0.5)
+        for side in ("top", "right"):
+            ax.spines[side].set_visible(False)
+    if plotted == 0:
+        raise SystemExit(f"[tpufed] no run carries any of {metrics}")
+    axes[0][0].legend(frameon=False, fontsize=8)
+    if args.title:
+        fig.suptitle(args.title)
+    fig.tight_layout()
+    out_dir = os.path.dirname(args.out)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    fig.savefig(args.out, dpi=140)
+    plt.close(fig)
+    print(f"[tpufed] figure: {args.out} ({len(runs)} runs, "
+          f"panels: {', '.join(metrics)})")
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench
     bench.main()
@@ -797,6 +883,21 @@ def main(argv=None) -> int:
     pcomp.add_argument("--out", default=None,
                        help="also write <out>.xlsx and <out>.csv")
     pcomp.set_defaults(fn=cmd_compare)
+    pplot = sub.add_parser(
+        "plot", help="render archived runs' metric trajectories into one "
+                     "comparison figure (one line per run, one panel per "
+                     "metric)")
+    pplot.add_argument("run_dirs", nargs="+",
+                       help="run directories with metrics.jsonl")
+    pplot.add_argument("--metrics", default=None,
+                       help="comma-separated metric keys (default: "
+                            "kl_score,mode_coverage for 2DMG runs; "
+                            "fid,inception_score for image runs)")
+    pplot.add_argument("--out", required=True, help="output .png path")
+    pplot.add_argument("--logy", action="store_true",
+                       help="log y-scale on fid/kl_score panels")
+    pplot.add_argument("--title", default=None)
+    pplot.set_defaults(fn=cmd_plot)
     pdoc = sub.add_parser(
         "doctor", help="diagnose the environment: versions, bounded "
                        "backend probe, compile cache, native dataplane")

@@ -219,6 +219,34 @@ class TestCLI:
         cgl = [l for l in lines if l.strip().startswith("cglgan")][0]
         assert "1.0000" in cgl                        # full mode coverage
 
+    @pytest.mark.smoke
+    def test_plot_renders_trajectory_figure(self, tmp_path):
+        """`tpufed plot` renders metric curves from metrics.jsonl dirs;
+        >8 runs (the validated series-slot count) is refused, not
+        hue-cycled."""
+        for i, name in enumerate(["a", "b"]):
+            d = tmp_path / name
+            d.mkdir()
+            with open(d / "metrics.jsonl", "w") as f:
+                for r in (50, 100):
+                    f.write(json.dumps({"round": r, "kl_score": 1.0 / (i + r),
+                                        "mode_coverage": 0.5}) + "\n")
+        out_png = tmp_path / "fig.png"
+        out = run_cli(["plot", str(tmp_path / "a"), str(tmp_path / "b"),
+                       "--out", str(out_png)], timeout=120)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert out_png.exists() and out_png.stat().st_size > 1000
+        # unknown metric -> hard error, not an empty figure
+        out = run_cli(["plot", str(tmp_path / "a"), "--metrics", "nope",
+                       "--out", str(tmp_path / "x.png")], timeout=120)
+        assert out.returncode != 0
+        # 9 runs exceed the fixed palette -> refuse (facet, don't cycle)
+        many = [str(tmp_path / "a")] * 9
+        out = run_cli(["plot", *many, "--out", str(tmp_path / "y.png")],
+                      timeout=120)
+        assert out.returncode != 0
+        assert "facet" in (out.stdout + out.stderr)
+
     def test_doctor_reports_environment(self):
         out = run_cli(["doctor", "--platform", "cpu"], timeout=120)
         assert out.returncode == 0, out.stderr[-2000:]
