@@ -371,8 +371,14 @@ class TorchMixGANTwin(TorchCGLTwin):
 
     def _game(self, s, l):
         torch = self.torch
-        w = torch.softmax(torch.from_numpy(self.beta[s])
-                          * torch.tensor(self.lam[s]) * l, dim=0)
+        if self.cfg.resolved_weighting == "beta_gamma":
+            # CAPGAN/MNIST/mixed-gan.py:276-278 — gamma = softmax(Lambda*l),
+            # s = softmax(beta*gamma); Lambda's only F-gradient is -0.001
+            gamma = torch.softmax(torch.tensor(self.lam[s]) * l, dim=0)
+            w = torch.softmax(torch.from_numpy(self.beta[s]) * gamma, dim=0)
+        else:
+            w = torch.softmax(torch.from_numpy(self.beta[s])
+                              * torch.tensor(self.lam[s]) * l, dim=0)
         self.lam[s] += self.cfg.lr_lambda * 0.001
         return w
 
@@ -477,13 +483,23 @@ class TorchCAPGANTwin:
             xg = g(torch.from_numpy(z_g[s]))
             graph = [self.bce(self.D[s][i](xg), valid) for i in range(k)]
             l = torch.stack(graph).detach()
-            inner = torch.softmax(torch.tensor(self.lam[s]) * l, dim=0)
-            alpha = torch.softmax(inner * torch.from_numpy(self.beta[s]),
-                                  dim=0)
+            alpha = self._weights(s, l)
             optg.zero_grad()
             (alpha * torch.stack(graph)).sum().backward()
             optg.step()
             self.lam[s] += cfg.lr_lambda * 0.001
+
+    def _weights(self, s, l):
+        """cap_exp (capgan.py:247-259) or the CAPGAN/MNIST variant's
+        beta_gamma (CAPGAN/MNIST/capgan.py:241-243); both detach every
+        softmax argument, so Lambda's only F-gradient is the -0.001."""
+        torch = self.torch
+        if self.cfg.resolved_weighting == "beta_gamma":
+            gamma = torch.softmax(torch.tensor(self.lam[s]) * l, dim=0)
+            return torch.softmax(torch.from_numpy(self.beta[s]) * gamma,
+                                 dim=0)
+        inner = torch.softmax(torch.tensor(self.lam[s]) * l, dim=0)
+        return torch.softmax(inner * torch.from_numpy(self.beta[s]), dim=0)
 
     def sample(self, zs):
         torch = self.torch
@@ -668,9 +684,7 @@ class TorchCAPGANMNISTTwin(TorchCAPGANTwin):
             xg = g(torch.from_numpy(z_g[s]))
             graph = [self.ce(self.D[s][i](xg), ones) for i in range(k)]
             l = torch.stack(graph).detach()
-            inner = torch.softmax(torch.tensor(self.lam[s]) * l, dim=0)
-            alpha = torch.softmax(inner * torch.from_numpy(self.beta[s]),
-                                  dim=0)
+            alpha = self._weights(s, l)
             optg.zero_grad()
             (alpha * torch.stack(graph)).sum().backward()
             optg.step()

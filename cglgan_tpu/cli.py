@@ -217,6 +217,21 @@ def _execute_run(args) -> dict:
     part = load_partition(cfg)
     run_dir = RunDir(args.out, args.name, cfg,
                      tensorboard=getattr(args, "tensorboard", False))
+    if cfg.dataset in ("mnist", "fashion-mnist") and not cfg.data_dir:
+        # permanent marker so archived run dirs can never be mistaken for
+        # real-handwriting/real-Fashion-MNIST results (the reference
+        # downloads the real sets, e.g. MDGAN/MNIST/mdgan.py:376)
+        with open(run_dir.file("DATA_SOURCE.txt"), "w") as f:
+            f.write(
+                f"dataset={cfg.dataset} trained on the DETERMINISTIC "
+                "SYNTHETIC GLYPH BANK (cglgan_tpu/data/mnist.py), not the "
+                "real torchvision download — this zero-egress environment "
+                "has no access to the real archives.  Shapes, cardinality, "
+                "label structure and Non-IID partitions match the real "
+                "sets; pixel content does not.  Metrics are comparable "
+                "across runs in this archive, NOT to runs on the real "
+                "data.  Pass --data-dir with the IDX files to train on "
+                "real data.\n")
     print(f"[tpufed] run dir: {run_dir.path}")
     print(f"[tpufed] devices: {jax.devices()}")
     print(f"[tpufed] shards: {part.lengths.tolist()}")

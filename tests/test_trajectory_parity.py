@@ -69,6 +69,39 @@ class TestTrajectoryParity:
             assert abs(r["kl_jax"] - r["kl_torch"]) < 0.1, r
             assert abs(r["ds_jax"] - r["ds_torch"]) < 0.03, r
 
+    def test_capgan_beta_gamma_150_rounds(self):
+        """The CAPGAN/MNIST/capgan.py variant's distinguishing weighting
+        s = softmax(beta * softmax(Lambda*l)) (capgan.py:241-243 there),
+        certified at the MLP trajectory standard."""
+        rows = run_compare("capgan", 150, 75, num_workers=4, num_servers=2,
+                           cloud_epoch=1, weighting="beta_gamma")
+        for r in rows:
+            assert r["samples_rmse"] < 5e-3, r
+            assert abs(r["kl_jax"] - r["kl_torch"]) < 0.1, r
+            assert abs(r["ds_jax"] - r["ds_torch"]) < 0.03, r
+
+    def test_mixgan_beta_gamma_150_rounds(self):
+        """CAPGAN/MNIST/mixed-gan.py variant: multipath Mix-G with the
+        beta_gamma weighting (mixed-gan.py:276-278 there)."""
+        rows = run_compare("mixgan", 150, 75, num_workers=4, num_servers=2,
+                           cloud_epoch=2, weighting="beta_gamma")
+        for r in rows:
+            assert r["samples_rmse"] < 5e-3, r
+            assert abs(r["kl_jax"] - r["kl_torch"]) < 0.1, r
+            assert abs(r["ds_jax"] - r["ds_torch"]) < 0.03, r
+
+    def test_capgan_mnist_beta_gamma_25_rounds(self):
+        """The CAPGAN/MNIST/capgan.py script shape end-to-end: BN(eps 0.8)
+        G, 2-logit CE Ds, beta_gamma weighting AND its cloud_epoch=0
+        default (capgan.py:38 there — the cloud sync never fires)."""
+        rows = run_compare("capgan", 25, 12, num_workers=4, num_servers=2,
+                           cloud_epoch=0, weighting="beta_gamma",
+                           dataset="synthetic-mnist", num_class=10,
+                           num_sample=64, batch_size=32)
+        assert len(rows) == 2
+        for r in rows:
+            assert r["samples_rmse"] < 2e-3, r
+
     def test_capgan_mnist_25_rounds(self):
         """Image-workload protocol parity: BN(eps 0.8) generator in train
         mode (batch stats + running-stat updates incl. the no-grad Xd
