@@ -75,6 +75,21 @@ def _floored(epoch: int) -> tuple:
 
 
 MEASURE_CHUNK = 500   # production cadence; recorded in the JSON line
+MESH_CHUNK_B = 2000   # second mesh measurement point (VERDICT r4 weak #1)
+
+
+def split_fixed_program(rps_a: float, rps_b: float,
+                        chunk_a: int, chunk_b: int) -> tuple:
+    """Two-point linear decomposition of dispatch time
+    T(chunk) = fixed + chunk * per_round.  Returns
+    (fixed_seconds_per_dispatch, per_round_seconds).  This separates the
+    tunnel-transport constant (per dispatch) from the compiled program's
+    per-round cost, so a real sharded-program regression can no longer hide
+    inside transport variance (VERDICT r4 weak #1)."""
+    t_a, t_b = chunk_a / rps_a, chunk_b / rps_b
+    per_round = (t_b - t_a) / (chunk_b - chunk_a)
+    fixed = t_a - chunk_a * per_round
+    return fixed, per_round
 
 
 def measure_tpu_rps(epoch: int = 1, dtype: str = "float32",
@@ -158,10 +173,16 @@ CACHED_TPU_RECORD = {
     "bf16_epoch5_vs_baseline": 2064.0,
     # round-4 mesh_donation_probe at the pinned chunk=500 (PERF.md
     # round-4 entry): the gap to unsharded is a fixed ~190 ms/dispatch
-    # tunnel transport cost, not a program slowdown
+    # tunnel transport cost, not a program slowdown.  The two-chunk split
+    # fields below are derived from that probe's 500/2000 pair.
     "mesh1_rounds_per_sec": 1512.7,
     "mesh1_vs_unsharded": 0.428,
+    "mesh1_rounds_per_sec_c2000": 2595.0,
+    "mesh1_vs_unsharded_c2000": 0.72,
+    "mesh1_fixed_ms_per_dispatch": 173.0,
+    "mesh1_program_ratio": 0.93,
     "chunk": 500,
+    "mesh_chunk_b": 2000,
     "tpu_source": "cached (last live round-3 measurement; emitted because "
                   "the axon tunnel was unresponsive at bench time)",
 }
@@ -187,6 +208,17 @@ def main():
     rps_bf16 = measure_tpu_rps(epoch=1, dtype="bfloat16")
     rps_bf16_e5 = measure_tpu_rps(epoch=5, dtype="bfloat16")
     rps_mesh1 = measure_tpu_rps(epoch=1, dtype="float32", mesh_devices=1)
+    # second chunk point for both paths: decompose the mesh gap into a
+    # fixed per-dispatch transport cost and the asymptotic program ratio
+    rps_c2000 = measure_tpu_rps(epoch=1, dtype="float32",
+                                chunk=MESH_CHUNK_B, reps=2)
+    rps_mesh1_c2000 = measure_tpu_rps(epoch=1, dtype="float32",
+                                      mesh_devices=1, chunk=MESH_CHUNK_B,
+                                      reps=2)
+    fixed_u, per_round_u = split_fixed_program(rps, rps_c2000,
+                                               MEASURE_CHUNK, MESH_CHUNK_B)
+    fixed_m, per_round_m = split_fixed_program(rps_mesh1, rps_mesh1_c2000,
+                                               MEASURE_CHUNK, MESH_CHUNK_B)
 
     base_e1, src_e1 = _floored(1)
     base_e5, src_e5 = _floored(5)
@@ -207,7 +239,15 @@ def main():
         "bf16_epoch5_vs_baseline": round(rps_bf16_e5 / base_e5, 2),
         "mesh1_rounds_per_sec": round(rps_mesh1, 2),
         "mesh1_vs_unsharded": round(rps_mesh1 / rps, 3),
+        "mesh1_rounds_per_sec_c2000": round(rps_mesh1_c2000, 2),
+        "mesh1_vs_unsharded_c2000": round(rps_mesh1_c2000 / rps_c2000, 3),
+        # extra fixed cost the mesh path pays per dispatch (tunnel
+        # transport), and the compiled-program throughput ratio with that
+        # constant removed (1.0 = no sharded-program slowdown)
+        "mesh1_fixed_ms_per_dispatch": round((fixed_m - fixed_u) * 1e3, 1),
+        "mesh1_program_ratio": round(per_round_u / per_round_m, 3),
         "chunk": MEASURE_CHUNK,
+        "mesh_chunk_b": MESH_CHUNK_B,
         "tpu_source": "live",
     }
     assert set(record) == set(CACHED_TPU_RECORD), (

@@ -288,14 +288,13 @@ def build_cgl_family(cfg: FedGANConfig, part: Partition,
             # — the gossip whose machinery the reference defines but never
             # invokes (para_d queues + Worker.receive_parameter averaging,
             # capgan.py:295-303, mixed-gan.py:325-333)
-            flat_d = jax.tree.map(
-                lambda x: x.reshape((S * k,) + x.shape[2:]), new_d)
+            # blocked form: the (S, k) layout stays put — flattening with k
+            # mesh-sharded would all-gather the D stack (test_hlo_comm.py)
             shared = NetState(
-                collectives.neighbor_share_tree(flat_d.params, k),
-                collectives.neighbor_share_tree(flat_d.bn, k),
-                flat_d.opt)
-            shared = jax.tree.map(
-                lambda x: x.reshape((S, k) + x.shape[1:]), shared)
+                collectives.neighbor_share_tree(new_d.params, k,
+                                                blocked=True),
+                collectives.neighbor_share_tree(new_d.bn, k, blocked=True),
+                new_d.opt)
             do_share = (t + 1) % cfg.E == 0
             new_d = jax.tree.map(
                 lambda a, b: jnp.where(do_share, a, b), shared, new_d)

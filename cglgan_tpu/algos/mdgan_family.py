@@ -186,9 +186,13 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
             metrics = jax.tree.map(jnp.mean, metrics)
 
         if cfg.E > 0:
-            flat_d = jax.tree.map(
-                lambda x: x.reshape((S * k,) + x.shape[2:]), new_d)
+            # the share/delta/swap paths all stay in the (S, k, ...) block
+            # layout: merging (S, k) into S*k with k mesh-sharded is
+            # inexpressible in GSPMD and would all-gather the full D stack
+            # per exchange (tests/test_hlo_comm.py guards this)
             if cfg.algo == "mdgan":
+                flat_d = jax.tree.map(
+                    lambda x: x.reshape((S * k,) + x.shape[2:]), new_d)
                 if cfg.d_swap == "shuffle":
                     # the reference's commented semantics: a fresh random
                     # shuffle of the received Ds per swap event
@@ -200,34 +204,30 @@ def build_mdgan_family(cfg: FedGANConfig, part: Partition,
                     swap = lambda t: collectives.ring_shift_tree(t, 1)
                 shared = NetState(swap(flat_d.params), swap(flat_d.bn),
                                   flat_d.opt)
+                shared = jax.tree.map(
+                    lambda x: x.reshape((S, k) + x.shape[1:]), shared)
             elif cfg.gossip == "delta":
                 # strict-fidelity delta-accumulating exchange
                 # (ACGAN/MNIST/acgan.py:240-263): anchors live in the aux
                 # slot, stored (S, k, ...) like the Ds
-                flat_w = jax.tree.map(
-                    lambda x: x.reshape((S * k,) + x.shape[2:]), state.lam)
-                cur = (flat_d.params, flat_d.bn)
+                cur = (new_d.params, new_d.bn)
                 new_cur, new_anchor = collectives.delta_share_tree(
-                    cur, flat_w, k)
-                shared = NetState(new_cur[0], new_cur[1], flat_d.opt)
+                    cur, state.lam, k, blocked=True)
+                shared = NetState(new_cur[0], new_cur[1], new_d.opt)
                 do_share = (t + 1) % cfg.E == 0
-                new_anchor = jax.tree.map(
-                    lambda x: x.reshape((S, k) + x.shape[1:]), new_anchor)
                 new_lam = jax.tree.map(
                     lambda a, b: jnp.where(do_share, a, b),
                     new_anchor, state.lam)
-                shared = jax.tree.map(
-                    lambda x: x.reshape((S, k) + x.shape[1:]), shared)
                 new_d = jax.tree.map(
                     lambda a, b: jnp.where(do_share, a, b), shared, new_d)
                 return FedState(new_g, new_d, new_lam, t + 1), metrics
             else:
                 shared = NetState(
-                    collectives.neighbor_share_tree(flat_d.params, k),
-                    collectives.neighbor_share_tree(flat_d.bn, k),
-                    flat_d.opt)
-            shared = jax.tree.map(
-                lambda x: x.reshape((S, k) + x.shape[1:]), shared)
+                    collectives.neighbor_share_tree(new_d.params, k,
+                                                    blocked=True),
+                    collectives.neighbor_share_tree(new_d.bn, k,
+                                                    blocked=True),
+                    new_d.opt)
             do_share = (t + 1) % cfg.E == 0
             new_d = jax.tree.map(
                 lambda a, b: jnp.where(do_share, a, b), shared, new_d)

@@ -80,12 +80,24 @@ def permute_tree(stacked, perm):
     return jax.tree.map(lambda x: jnp.take(x, perm, axis=0), stacked)
 
 
-def neighbor_share_tree(stacked, group_size: int):
+def neighbor_share_tree(stacked, group_size: int, *, blocked: bool = False):
     """Every-E-rounds neighbour D-share: partition the clients axis into
     contiguous groups of ``group_size`` and replace each member with the group
     mean (the real implementation of AC-GAN's commented gossip,
-    ACGAN/MNIST/acgan.py:240-263)."""
+    ACGAN/MNIST/acgan.py:240-263).
+
+    ``blocked=True``: leaves are already grouped ``(G, group_size, ...)``
+    (the (servers, clients_per_server) layout) — the mean runs over axis 1
+    with no reshape.  Use this form whenever axis 1 is mesh-sharded: merging
+    ``(S, k)`` into ``S*k`` with ``k`` sharded is inexpressible in GSPMD, so
+    the flat form forces a full-stack all-gather + re-shard per exchange
+    (caught by tests/test_hlo_comm.py); the blocked form lowers to the
+    intended segment-sum all-reduce."""
     def share(x):
+        if blocked:
+            assert x.shape[1] == group_size, (x.shape, group_size)
+            mean = jnp.mean(x, axis=1, keepdims=True)
+            return jnp.broadcast_to(mean, x.shape)
         n = x.shape[0]
         g = n // group_size
         grouped = x.reshape((g, group_size) + x.shape[1:])
@@ -95,7 +107,8 @@ def neighbor_share_tree(stacked, group_size: int):
     return jax.tree.map(share, stacked)
 
 
-def delta_share_tree(stacked, anchor, group_size: int):
+def delta_share_tree(stacked, anchor, group_size: int, *,
+                     blocked: bool = False):
     """Delta-accumulating every-E-rounds gossip: the strict-fidelity mode of
     AC-GAN's commented exchange (ACGAN/MNIST/acgan.py:240-263).
 
@@ -112,10 +125,12 @@ def delta_share_tree(stacked, anchor, group_size: int):
     parameter mean (``neighbor_share_tree``); later exchanges differ because
     anchors are per-member.
 
-    Returns ``(new_stacked, new_anchor)``.
+    Returns ``(new_stacked, new_anchor)``.  ``blocked`` as in
+    ``neighbor_share_tree`` — pass the ``(S, k, ...)`` layout directly when
+    axis 1 is the sharded clients axis.
     """
     deltas = jax.tree.map(lambda p, w: p - w, stacked, anchor)
-    mean_delta = neighbor_share_tree(deltas, group_size)
+    mean_delta = neighbor_share_tree(deltas, group_size, blocked=blocked)
     new_p = jax.tree.map(lambda w, s: w + s, anchor, mean_delta)
     return new_p, stacked
 

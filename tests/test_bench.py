@@ -49,6 +49,16 @@ def test_cached_schema_matches_live_schema():
     assert set(bench.CACHED_TPU_RECORD) == _live_record_keys()
 
 
+def test_split_fixed_program_recovers_known_decomposition():
+    # synthesize throughputs from a known (fixed=150ms, 0.3ms/round) model
+    fixed, per_round = 0.150, 0.0003
+    rps_a = 500 / (fixed + 500 * per_round)
+    rps_b = 2000 / (fixed + 2000 * per_round)
+    f, p = bench.split_fixed_program(rps_a, rps_b, 500, 2000)
+    assert abs(f - fixed) < 1e-9
+    assert abs(p - per_round) < 1e-12
+
+
 def test_baseline_fallback_covers_both_epoch_settings():
     # main() divides by _floored(1) and _floored(5); both must have a
     # cached floor so a dead torch subprocess cannot crash the artifact
