@@ -949,6 +949,152 @@ class TorchMDGANConvTwin:
         return out
 
 
+class TorchCGLConvTwin(TorchCGLTwin):
+    """The multipath conv CGL-GAN — the archived conv flagship
+    (results/runs/mnist-iid1-cglgan-conv) — as an eager-torch protocol twin:
+    conv Mix-G head routing (model/lsgan.py:34-71 fixed per zoo.py) + the
+    cgl_mean_game Lambda weighting + conv Ds with BN(eps 0.8)/Dropout2d,
+    trunk-scope cloud sync incl. BN buffers.  Composes the pieces the MLP
+    CGL twin and the MD-GAN conv twin certify separately; the freeze dance,
+    game math (inherited ``_game``) and BN/dropout replication follow those
+    twins exactly."""
+
+    def __init__(self, cfg, part, jax_state):
+        torch = self.torch = _torch()
+        import jax
+        import torch.nn as tnn
+
+        from benchmarks.torch_conv_twins import TorchConvD, TorchConvMixG
+        from cglgan_tpu.core import prng
+        from cglgan_tpu.fed import topology
+
+        self.cfg = cfg
+        S, self.k = cfg.num_servers, cfg.clients_per_server
+        self.S, k = S, self.k
+        self.B = cfg.batch_size
+        self.shards = np.asarray(part.data).reshape(
+            (S, k) + part.data.shape[1:])
+        self.beta = topology.server_beta(part.lengths, S)        # (S, k)
+        dl = topology.server_data_len(part.lengths, S)
+        self.a_w = (dl / dl.sum()).astype(np.float32)            # (S,)
+        self.lam = np.zeros(S, np.float32)
+        self.bcel = tnn.BCEWithLogitsLoss()   # conv D: raw logits
+        self.root = prng.root_key(cfg.seed)
+
+        gp, gs = jax_state.g.params, jax_state.g.bn
+        dp, ds = jax_state.d.params, jax_state.d.bn
+        self.G, self.optG, self.D, self.optD = [], [], [], []
+        for s in range(S):
+            g = TorchConvMixG(k)
+            g.load_jax(jax.tree.map(lambda x: np.asarray(x)[s], gp),
+                       jax.tree.map(lambda x: np.asarray(x)[s], gs))
+            self.G.append(g)
+            self.optG.append(torch.optim.Adam(
+                g.parameters(), lr=cfg.lr_g, betas=(cfg.b1, cfg.b2)))
+            ds_row, opt_row = [], []
+            for i in range(k):
+                d = TorchConvD()
+                d.load_jax(jax.tree.map(lambda x: np.asarray(x)[s, i], dp),
+                           jax.tree.map(lambda x: np.asarray(x)[s, i], ds))
+                ds_row.append(d)
+                opt_row.append(torch.optim.Adam(
+                    d.parameters(), lr=cfg.lr_d, betas=(cfg.b1, cfg.b2)))
+            self.D.append(ds_row)
+            self.optD.append(opt_row)
+
+    def _real(self, s, i, st):
+        x = self.shards[s, i, st:st + self.B].astype(np.float32) / 255.0
+        x = (x - 0.5) / 0.5
+        side = int(round(x.shape[1] ** 0.5))
+        return self.torch.from_numpy(x.reshape(self.B, 1, side, side))
+
+    def _cloud_sync(self, t):
+        """Trunk-scope weighted average + sigma-mix on the countdown cadence,
+        moving params AND BN buffers (sync_bn: cglgan syncs via
+        copy_parameters, CGLGAN/MNIST/main.py:140-145,177-184)."""
+        cfg, torch = self.cfg, self.torch
+        if cfg.cloud_epoch <= 0 or \
+                (cfg.num_communication - t) % max(cfg.cloud_epoch, 1) != 0:
+            return
+        with torch.no_grad():
+            rows = [g.trunk_tensors() for g in self.G]
+            for j in range(len(rows[0])):
+                avg = sum(float(self.a_w[s]) * rows[s][j]
+                          for s in range(self.S))
+                for s in range(self.S):
+                    rows[s][j].copy_(cfg.segema * rows[s][j]
+                                     + (1 - cfg.segema) * avg)
+
+    def round(self, t, starts, z_d, z_g):
+        import jax
+
+        from benchmarks.torch_conv_twins import dropout_masks
+        from cglgan_tpu.core import prng
+
+        torch, k = self.torch, self.k
+        self._cloud_sync(t)
+        # replicate the round's key fan-out (cgl_family.round_fn/server_round)
+        key = prng.for_round(prng.for_role(self.root, prng.ROLE_LOCAL), t)
+        keys = jax.random.split(key, self.S)
+        ones = torch.ones(self.B, 1)
+        zeros = torch.zeros(self.B, 1)
+        st = int(starts[0])         # epoch == 1 (d_epoch_steps single path)
+        for s in range(self.S):
+            _zd, _zg, k_d, k_drop = jax.random.split(keys[s], 4)
+            d_keys = jax.random.split(k_d, k)
+            drop_keys = jax.random.split(k_drop, k)
+            g, optg = self.G[s], self.optG[s]
+            with torch.no_grad():   # Xd: train-mode fwd advances G BN stats
+                xd = g(torch.from_numpy(z_d[s]))      # (k, B, 1, 32, 32)
+            for i in range(k):
+                d, optd = self.D[s][i], self.optD[s][i]
+                r1, r2 = jax.random.split(d_keys[i])   # common.d_step_fn
+                loss = (self.bcel(d(self._real(s, i, st),
+                                    dropout_masks(r1, self.B)), ones)
+                        + self.bcel(d(xd[i], dropout_masks(r2, self.B)),
+                                    zeros))
+                optd.zero_grad()
+                loss.backward()
+                optd.step()
+            xg = g(torch.from_numpy(z_g[s]))
+            # the jitted per_client_losses discards D BN state — snapshot
+            # and restore after backward (train-mode BN mutates in place)
+            snaps = [{k_: v.clone() for k_, v in d.state_dict().items()
+                      if "running_" in k_ or "num_batches" in k_}
+                     for d in self.D[s]]
+            graph = [self.bcel(self.D[s][i](xg[i],
+                                            dropout_masks(drop_keys[i],
+                                                          self.B)), ones)
+                     for i in range(k)]
+            l = torch.stack(graph).detach()
+            w = self._game(s, l)
+            optg.zero_grad()
+            # heads <- sum(l) trunk frozen; trunk <- sum(w*l) heads frozen
+            g.set_trunk_grad(False)
+            sum(graph).backward(retain_graph=True)
+            g.set_trunk_grad(True)
+            g.set_heads_grad(False)
+            (w * torch.stack(graph)).sum().backward()
+            g.set_heads_grad(True)
+            optg.step()
+            with torch.no_grad():
+                for d, snap in zip(self.D[s], snaps):
+                    d.load_state_dict(snap, strict=False)
+
+    def sample(self, zs):
+        torch, k = self.torch, self.k
+        outs = []
+        with torch.no_grad():
+            for s in range(self.S):
+                self.G[s].eval()
+                out = self.G[s](torch.from_numpy(zs[s].copy()))
+                per = out.shape[1]
+                outs.append(out.reshape((k * per,)
+                                        + out.shape[2:])[::k].numpy())
+                self.G[s].train()
+        return np.concatenate(outs, axis=0)
+
+
 class TorchFLGANTwin:
     """The reference FL-GAN 2DMG protocol in eager torch
     (FLGAN/2DMG/flgan.py:107-258): broadcast -> local D/G sweeps with
@@ -1156,7 +1302,8 @@ def run_compare(algo: str, rounds: int, tick: int, shrink_to: int = None,
     max_len = part.data.shape[1]
 
     if algo == "cglgan":
-        twin = TorchCGLTwin(cfg, part, state)
+        twin = (TorchCGLConvTwin if cfg.conv
+                else TorchCGLTwin)(cfg, part, state)
         streams = cgl_round_streams(root, cfg, max_len)
     elif algo == "mixgan":
         twin = TorchMixGANTwin(cfg, part, state)

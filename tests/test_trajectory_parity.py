@@ -140,6 +140,21 @@ class TestTrajectoryParity:
         for r in rows:
             assert r["samples_rmse"] < 2e-3, r
 
+    def test_cglgan_conv_12_rounds(self):
+        """The multipath conv CGL-GAN — the conv flagship the results suite
+        leads with (results/runs/mnist-iid1-cglgan-conv, best FID 0.33) —
+        certified multi-round: conv Mix-G head routing (model/lsgan.py:34-71,
+        img_shape bug fixed per zoo.py:166-202) + cgl_mean_game Lambda
+        weighting + conv Ds + trunk-scope cloud sync with BN buffers, all
+        composed, at the MD-GAN conv twin's tolerance."""
+        rows = run_compare("cglgan", 12, 4, num_workers=4, num_servers=2,
+                           cloud_epoch=2, conv=True,
+                           dataset="synthetic-mnist", num_class=10,
+                           num_sample=32, batch_size=16, shrink_to=64)
+        assert len(rows) == 3
+        for r in rows:
+            assert r["samples_rmse"] < 2e-3, r
+
     def test_fegan_150_rounds(self):
         """Covers the group schedule, exp(sk) weights and partial
         participation (only sampled members advance)."""
