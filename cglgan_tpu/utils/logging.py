@@ -33,10 +33,27 @@ class RunDir:
             name = f"{stamp}-{algo}-{ds}-iid{iid}"
         self.path = os.path.join(root, name)
         os.makedirs(self.path, exist_ok=True)
-        self._jsonl = open(os.path.join(self.path, "metrics.jsonl"), "a")
+        jsonl_path = os.path.join(self.path, "metrics.jsonl")
         self._csv_path = os.path.join(self.path, "metrics.csv")
         self._csv_fields = None
         self._records = []
+        # Resuming into an existing run dir (``--resume`` with the same
+        # ``--name``): carry the prior ticks forward so metrics.csv /
+        # metrics.xlsx stay complete across the restart instead of silently
+        # restarting from the resume round (jsonl alone appends correctly).
+        if os.path.isfile(jsonl_path) and os.path.getsize(jsonl_path) > 0:
+            with open(jsonl_path) as f:
+                for line in f:
+                    if line.strip():
+                        self._records.append(json.loads(line))
+            if self._records:
+                self._csv_fields = list(self._records[0].keys())
+                with open(self._csv_path, "w", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=self._csv_fields,
+                                       extrasaction="ignore")
+                    w.writeheader()
+                    w.writerows(self._records)
+        self._jsonl = open(jsonl_path, "a")
         self._tb = None
         if tensorboard:
             # torch (CPU) ships in this image; degrade gracefully elsewhere

@@ -84,6 +84,28 @@ class TestRunDir:
         saved_cfg = json.load(open(rd.file("config.json")))
         assert saved_cfg["algo"] == "flgan"
 
+    def test_resume_carries_prior_ticks(self, tmp_path):
+        """Re-opening an existing run dir (--resume with the same --name)
+        must carry the prior jsonl ticks into metrics.csv/xlsx so the
+        aggregate artifacts stay complete across a restart."""
+        cfg = FedGANConfig(algo="flgan", dataset="2dmg")
+        rd = RunDir(str(tmp_path), "runR", cfg)
+        rd.log({"round": 1, "kl": 0.5})
+        rd.log({"round": 2, "kl": 0.4})
+        rd.close()
+        rd2 = RunDir(str(tmp_path), "runR", cfg)
+        rd2.log({"round": 3, "kl": 0.3})
+        rd2.close()
+        lines = open(rd2.file("metrics.jsonl")).read().strip().split("\n")
+        assert [json.loads(l)["round"] for l in lines] == [1, 2, 3]
+        csv = open(rd2.file("metrics.csv")).read().strip().split("\n")
+        assert csv[0] == "round,kl" and len(csv) == 4  # one header + 3 rows
+        import zipfile
+        sheet = zipfile.ZipFile(rd2.file("metrics.xlsx")).read(
+            "xl/worksheets/sheet1.xml").decode()
+        for v in ("0.5", "0.4", "0.3"):  # all three ticks, not just the new one
+            assert f"<v>{v}</v>" in sheet
+
     def test_tensorboard_scalar_stream(self, tmp_path):
         """tensorboard=True streams numeric tick fields as TB scalars
         under <run>/tb/ (SURVEY §5: 'CSV/JSONL + optional TensorBoard')."""
