@@ -417,7 +417,20 @@ def cmd_compare(args) -> int:
         if last is None:
             print(f"[tpufed] skipping {d}: empty metrics.jsonl")
             continue
-        row = {"algo": cfg.get("algo"), "dataset": cfg.get("dataset"),
+        # data provenance: image runs without --data-dir train on the
+        # deterministic glyph bank (the run dir carries DATA_SOURCE.txt) —
+        # surface that in the aggregate so a "fashion-mnist" row can never
+        # be mistaken for a real-Fashion-MNIST result (the reference
+        # downloads the real sets, MDGAN/MNIST/mdgan.py:376).
+        ds = cfg.get("dataset")
+        if ds == "2dmg":
+            src = "gmm"
+        elif os.path.isfile(os.path.join(d, "DATA_SOURCE.txt")) \
+                or ds == "synthetic-mnist" or not cfg.get("data_dir"):
+            src = "glyphs"
+        else:
+            src = "idx"
+        row = {"algo": cfg.get("algo"), "dataset": ds, "data": src,
                "iid": cfg.get("iid"), "run_dir": d}
         row.update({k: v for k, v in last.items()
                     if isinstance(v, (int, float))})

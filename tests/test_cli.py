@@ -218,6 +218,10 @@ class TestCLI:
         # the cglgan row reproduces the RESULTS.md headline metrics
         cgl = [l for l in lines if l.strip().startswith("cglgan")][0]
         assert "1.0000" in cgl                        # full mode coverage
+        # data-provenance column: 2DMG rows are sampled gmm draws
+        assert "| gmm |" in cgl.replace("  ", " ")
+        csv_head = (tmp_path / "cmp.csv").read_text().splitlines()[0]
+        assert "data" in csv_head.split(",")
 
     @pytest.mark.smoke
     def test_plot_renders_trajectory_figure(self, tmp_path):
